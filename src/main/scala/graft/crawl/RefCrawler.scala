@@ -1,0 +1,120 @@
+package graft.crawl
+
+import graft.functions.CanonicalUrl
+import graft.util.XxHash64
+
+import scala.collection.mutable
+
+/** Per-wave totals the engine's per-partition metrics must roll up to. */
+case class WaveTotals(
+    wave: Int,
+    fetched: Long,
+    discovered: Long,
+    deduped: Long,
+    robots_denied: Long,
+    budget_deferred: Long)
+
+/** Sequential, Spark-free oracle crawler — the BINDING semantics
+  * (SURVEY.md §1.4; the reference mount is empty, so this deterministic
+  * model derived from BASELINE.json north_star/input_hint is the spec the
+  * distributed engine is tested against, bit-for-bit).
+  *
+  * Model:
+  *  1. canonicalization: [[graft.functions.CanonicalUrl]] (RFC 3986).
+  *  2. seen-set: a URL is new iff its canonical form was never admitted.
+  *  3. frontier total order: (priority=depth ASC, discovery_time ASC,
+  *     canonical_url ASC); discovery_time is a global admission counter
+  *     (seeds take 0..n-1 in seed-list order).
+  *  4. wave: for every host with pending URLs, the first min(B, pending)
+  *     URLs in frontier order; trace order = selected set in frontier order.
+  *  5. robots: checked at admission; denied URLs occupy the seen-set, are
+  *     never enqueued, never fetched, never traced.
+  *  6. fetch+parse: [[SyntheticWeb.fetchParse]]; outlinks resolved against
+  *     the base URL, admitted in (page trace order, link index) order —
+  *     first occurrence wins (covers in-page and intra-wave dedup).
+  *  7. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
+  *     (checked at wave start).
+  */
+class RefCrawler(cfg: CrawlConfig) {
+
+  private val robotsByHost: Map[String, Seq[RobotsRule]] =
+    cfg.robots.groupBy(_.host)
+
+  /** Longest matching path_prefix wins; ties by min rule_order; no rule
+    * matching -> allow.
+    */
+  def robotsAllowed(canonicalUrl: String): Boolean = {
+    val host = CanonicalUrl.host(canonicalUrl)
+    val path = CanonicalUrl.path(canonicalUrl)
+    robotsByHost.get(host) match {
+      case None => true
+      case Some(rules) =>
+        val matching = rules.filter(r => path.startsWith(r.path_prefix))
+        if (matching.isEmpty) true
+        else matching.minBy(r => (-r.path_prefix.length, r.rule_order)).allow
+    }
+  }
+
+  def run(): (CrawlResult, Seq[WaveTotals]) = {
+    val seen = mutable.HashSet.empty[String]
+    // pending, keyed by host -> ordered buffer; order restored per wave by sort
+    val pending = mutable.ArrayBuffer.empty[FrontierEntry]
+    val trace = mutable.ArrayBuffer.empty[TraceRow]
+    val docs = mutable.ArrayBuffer.empty[Doc]
+    val totals = mutable.ArrayBuffer.empty[WaveTotals]
+    var nextSeq = 0L
+    var fetchedTotal = 0L
+
+    // admit: returns (discoveredDelta, dedupedDelta, deniedDelta)
+    def admit(canonical: String, depth: Int): (Long, Long, Long) = {
+      if (seen.contains(canonical)) (0L, 1L, 0L)
+      else {
+        seen += canonical
+        val seq = nextSeq
+        nextSeq += 1
+        if (robotsAllowed(canonical)) {
+          val host = CanonicalUrl.host(canonical)
+          pending += FrontierEntry(canonical, host, XxHash64.hashString(host),
+            priority = depth, discovery_time = seq, depth = depth)
+          (1L, 0L, 0L)
+        } else (1L, 0L, 1L)
+      }
+    }
+
+    cfg.seeds.foreach(s => admit(CanonicalUrl.canonicalize(s), depth = 0))
+
+    var wave = 1
+    while (pending.nonEmpty && wave <= cfg.maxWaves && fetchedTotal < cfg.maxUrls) {
+      // wave selection: per host, first B in frontier order
+      val byHost = pending.groupBy(_.host)
+      val selected = byHost.valuesIterator.flatMap { entries =>
+        entries.sortBy(e => (e.priority, e.discovery_time, e.canonical_url))
+          .take(cfg.budgetPerHost)
+      }.toIndexedSeq
+        .sortBy(e => (e.priority, e.discovery_time, e.canonical_url))
+      val deferred = pending.size - selected.size
+
+      val selectedSet = selected.map(_.canonical_url).toSet
+      pending.filterInPlace(e => !selectedSet.contains(e.canonical_url))
+
+      var discovered = 0L
+      var deduped = 0L
+      var denied = 0L
+      selected.zipWithIndex.foreach { case (e, i) =>
+        trace += TraceRow(wave, i + 1L, e.host, e.canonical_url)
+        val (spans, rawLinks) = SyntheticWeb.fetchParse(e.canonical_url, cfg.web)
+        docs += Doc(e.canonical_url, spans)
+        rawLinks.foreach { raw =>
+          val c = CanonicalUrl.resolve(e.canonical_url, raw)
+          val (d, dd, dn) = admit(c, e.depth + 1)
+          discovered += d; deduped += dd; denied += dn
+        }
+      }
+      fetchedTotal += selected.size
+      totals += WaveTotals(wave, selected.size.toLong, discovered, deduped, denied, deferred.toLong)
+      wave += 1
+    }
+
+    (CrawlResult(trace.toSeq, seen.toSet, docs.toSeq), totals.toSeq)
+  }
+}

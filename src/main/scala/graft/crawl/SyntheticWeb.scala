@@ -1,0 +1,141 @@
+package graft.crawl
+
+import graft.util.XxHash64
+import graft.functions.CanonicalUrl
+
+/** Deterministic synthetic web (FIXTURES.md §A2): `page(url)` is a pure
+  * function of `xxhash64(url, seed=42)`, so fetch+parse is identical bytes
+  * on every run, at every parallelism level, in both the sequential oracle
+  * and the distributed engine. No network exists in this sandbox; the real
+  * fetcher would implement the same (url -> spans + outlinks) contract.
+  *
+  * Properties (all derived from hash mixes of the canonical URL):
+  *  - 2..8 spans per page, alternating text/media; text = 3..10 words from a
+  *    64-word pool; media_ref = "media/<hex>.jpg".
+  *  - 0..5 outlinks per page, ~70% same-host; cross-host links are biased
+  *    toward one designated hot host (10x-ish in-degree) to exercise skew
+  *    handling; ~10% duplicate links exercise in-page first-occurrence dedup.
+  *  - raw link forms include relative paths, uppercase host, explicit :80,
+  *    dot-segments, percent-encoding and network-path references, all of
+  *    which canonicalize/resolve back into the closed page space
+  *    http://host{i}.test/p/{k}.
+  */
+object SyntheticWeb {
+
+  /** hosts: number of distinct hosts host{0..H-1}.test; pagesPerHost: size
+    * of the /p/{k} page space per host; hotHost: index of the skewed host.
+    */
+  case class WebConfig(hosts: Int = 8, pagesPerHost: Int = 50, hotHost: Int = 0)
+
+  private val wordPool: IndexedSeq[String] = Vector(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
+    "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa",
+    "quebec", "romeo", "sierra", "tango", "uniform", "victor", "whiskey",
+    "xray", "yankee", "zulu", "amber", "birch", "cedar", "dune", "ember",
+    "fjord", "grove", "harbor", "isle", "jade", "kelp", "lagoon", "mesa",
+    "nectar", "onyx", "pearl", "quartz", "reef", "slate", "tundra", "umber",
+    "vale", "willow", "xenon", "yarrow", "zephyr", "anchor", "beacon",
+    "cinder", "drift", "eddy", "flint", "glen", "heath", "inlet", "juniper",
+    "knoll", "ledge")
+
+  @inline private def h(s: String): Long = XxHash64.hashString(s)
+  @inline private def fm(a: Long, m: Int): Int = java.lang.Math.floorMod(a, m.toLong).toInt
+
+  def canonicalPage(hostIdx: Int, k: Int): String = s"http://host$hostIdx.test/p/$k"
+
+  /** Host index encoded in a host{i}.test name; hash-derived fallback for
+    * off-space hosts (cannot occur with the link forms below).
+    */
+  private def hostIndexOf(host: String, cfg: WebConfig): Int =
+    if (host.startsWith("host") && host.endsWith(".test")) {
+      val mid = host.substring(4, host.length - 5)
+      if (mid.nonEmpty && mid.forall(_.isDigit)) mid.toInt % cfg.hosts
+      else fm(h(host), cfg.hosts)
+    } else fm(h(host), cfg.hosts)
+
+  /** Deterministic fetch + parse of a canonical URL: ordered span array
+    * (text/media interleaved, offset = array index) plus the page's raw
+    * outlink strings in document order (duplicates included).
+    */
+  def fetchParse(url: String, cfg: WebConfig): (IndexedSeq[Span], IndexedSeq[String]) = {
+    val nSpans = 2 + fm(h(url + "|page"), 7) // 2..8
+    val spans = (0 until nSpans).map { i =>
+      val hi = h(url + "|span|" + i)
+      if (i % 2 == 0) {
+        val nWords = 3 + fm(hi, 8) // 3..10
+        val words = (0 until nWords).map { j =>
+          wordPool(fm(h(url + "|w|" + i + "|" + j), wordPool.length))
+        }
+        Span("text", words.mkString(" "), null, i)
+      } else {
+        Span("media", null, "media/" + java.lang.Long.toHexString(hi) + ".jpg", i)
+      }
+    }
+
+    val hostIdx = hostIndexOf(CanonicalUrl.host(url), cfg)
+    val nLinks = fm(h(url + "|links"), 6) // 0..5
+    val links = new scala.collection.mutable.ArrayBuffer[String](nLinks)
+    var j = 0
+    while (j < nLinks) {
+      val hj = h(url + "|link|" + j)
+      if (j > 0 && fm(hj >>> 33, 10) == 0) {
+        links += links(j - 1) // ~10% duplicate: exercises in-page dedup
+      } else {
+        val sameHost = fm(hj, 10) < 7
+        val tgtHost =
+          if (sameHost) hostIdx
+          else if (fm(hj >>> 8, 100) < 40) cfg.hotHost // hot-host skew
+          else fm(hj >>> 16, cfg.hosts)
+        val k2 = fm(hj >>> 24, cfg.pagesPerHost)
+        val raw = fm(hj >>> 40, 8) match {
+          case 0 if sameHost => s"$k2"                                     // relative
+          case 1 if sameHost => s"../p/$k2"                                // dot-segment relative
+          case 2             => s"HTTP://HOST$tgtHost.TEST/p/$k2"          // case-normalization
+          case 3             => s"http://host$tgtHost.test:80/p/$k2"       // default port
+          case 4             => s"http://host$tgtHost.test/a/../p/$k2"     // dot segments
+          case 5             => s"http://host$tgtHost.test/%70/$k2"        // %70 = 'p'
+          case 6             => s"//host$tgtHost.test/p/$k2"               // network-path
+          case _             => canonicalPage(tgtHost, k2)
+        }
+        links += raw
+      }
+      j += 1
+    }
+    (spans, links.toIndexedSeq)
+  }
+
+  /** Ordered seed list (FIXTURES.md §A3): canonical-form-varying URLs; list
+    * order defines discovery_time 0..n-1.
+    */
+  def seedUrls(n: Int, cfg: WebConfig): Seq[String] = (0 until n).map { i =>
+    val hostIdx = i % cfg.hosts
+    val k = i % cfg.pagesPerHost
+    i % 5 match {
+      case 0 => s"http://host$hostIdx.test/p/$k"
+      case 1 => s"HTTP://host$hostIdx.TEST:80/p/$k#frag"
+      case 2 => s"http://host$hostIdx.test/a/b/../../p/$k"
+      case 3 => s"http://host$hostIdx.test/%70/$k"
+      case _ => s"http://host$hostIdx.test/./p/$k"
+    }
+  }
+
+  /** Robots fixture (FIXTURES.md §A5) over live page paths so the rules
+    * actually fire: prefix-deny "/p/1" on 1-in-4 hosts (matches /p/1,
+    * /p/10..19, ...), a longer allow-override "/p/12" on 1-in-8, and a
+    * deny-all host — exercises longest-prefix-wins.
+    */
+  def robotsFixture(cfg: WebConfig): Seq[RobotsRule] = {
+    val rules = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    var order = 0
+    (0 until cfg.hosts).foreach { i =>
+      val host = s"host$i.test"
+      if (i == cfg.hosts - 1 && cfg.hosts > 2) {
+        rules += RobotsRule(host, "/", allow = false, order); order += 1
+      } else {
+        if (i % 4 == 1) { rules += RobotsRule(host, "/p/1", allow = false, order); order += 1 }
+        if (i % 8 == 1) { rules += RobotsRule(host, "/p/12", allow = true, order); order += 1 }
+      }
+    }
+    rules.toSeq
+  }
+}
