@@ -1,0 +1,418 @@
+package graft.crawl
+
+import graft.functions.CanonicalUrl
+import graft.operators.{BloomBuildAggregator, ShardedBloom}
+import graft.sources.SnapshotStore
+import graft.util.XxHash64
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The distributed crawl engine: a Spark-native URL frontier + fetch
+  * scheduler (SURVEY.md §3 E1). Each wave is a typed Dataset transform
+  * (no RDDs); state lives in snapshot tables (pending / seen / trace /
+  * docs / metrics) committed atomically per wave with per-partition
+  * lineage + metrics; the run is resumable from any committed wave.
+  *
+  * Must match [[RefCrawler]] bit-for-bit on trace, seen and docs under the
+  * same config at ANY parallelism level (BASELINE.json north_rule). Every
+  * order-bearing step therefore ends in an explicit deterministic sort key
+  * — never partition order.
+  *
+  * Scale design (10^10-URL frontier):
+  *  - per-host budget selection is a window top-K over host_hash — one
+  *    shuffle of the PENDING set, partitioned by host, never the seen-set;
+  *  - the seen-set is only touched by (a) a broadcast sharded-bloom probe
+  *    (executor-local, no shuffle) and (b) an anti-join of the bloom-maybe
+  *    残 rows only (AQE handles skew);
+  *  - trace/discovery numbering uses a two-phase range-partitioned rank
+  *    (no single-partition global window);
+  *  - hot-host parse/fetch skew is broken by salted repartitioning before
+  *    the fetch map (budget selection stays unsalted per-host);
+  *  - pending is copy-on-write partition-bucketed by host_hash; seen, docs,
+  *    trace and metrics are append-only logs in the snapshot store.
+  */
+object CrawlDriver {
+
+  /** Engine knobs independent of crawl semantics (must not change output). */
+  case class EngineConfig(
+      bloomShards: Int = 16,
+      bloomItemsPerShard: Long = 1L << 16,
+      bloomFpp: Double = 0.01,
+      /** hosts whose wave share exceeds this fraction get salted before fetch */
+      saltThreshold: Double = 0.25,
+      saltFanout: Int = 8,
+      /** below this pending size, skip the salting-decision job entirely —
+        * salting only pays off on big waves and never changes output */
+      minSaltPending: Long = 2000,
+      useBloom: Boolean = true,
+      verbose: Boolean = false)
+
+  case class RunHandle(store: SnapshotStore, wavesRun: Int, fetchedTotal: Long)
+
+  private case class Candidate(
+      canonical_url: String,
+      host: String,
+      host_hash: Long,
+      depth: Int,
+      trace_seq: Long,
+      link_idx: Int)
+
+  /** Deterministic global 0-based rank by `order` columns: two-phase
+    * range-partition + per-partition offset (SURVEY.md §2.5 Q4) — avoids a
+    * single-partition global window so numbering scales with cores.
+    * `order` must be a total order (unique key).
+    */
+  def withGlobalSeq(df: DataFrame, order: Seq[String], out: String,
+                    sizeHint: Long = Long.MaxValue): DataFrame = {
+    val cols = order.map(col)
+    // small inputs: a single-partition window is cheaper than three stages
+    // and yields the identical (deterministic) numbering
+    if (sizeHint <= 65536) {
+      return df.withColumn(out,
+        row_number().over(Window.orderBy(cols: _*)).cast("long") - 1L)
+    }
+    val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = df
+      .repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition counts are n tiny rows: the single-partition running-sum
+    // window below is over those n rows, never the data
+    val offsets = ranged
+      .groupBy(col("__pid")).count()
+      .withColumn("__off",
+        sum(col("count")).over(Window.orderBy(col("__pid"))) - col("count"))
+      .select(col("__pid"), col("__off"))
+    ranged
+      .join(broadcast(offsets), "__pid")
+      .withColumn(out,
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(cols: _*))
+          .cast("long") + col("__off") - 1L)
+      .drop("__pid", "__off")
+  }
+
+  /** Run a crawl from scratch (or resume, see [[resume]]) writing snapshots
+    * under `storeRoot`. Returns the store for inspection.
+    */
+  def run(spark: SparkSession, cfg: CrawlConfig, storeRoot: String,
+          eng: EngineConfig = EngineConfig()): RunHandle = {
+    import spark.implicits._
+    val store = new SnapshotStore(storeRoot, spark)
+
+    // ---- wave 0: seed admission (robots checked at admission, like the oracle)
+    val robotsB = spark.sparkContext.broadcast(cfg.robots)
+    def robotsAllowed(url: String, robots: Seq[RobotsRule]): Boolean = {
+      val host = CanonicalUrl.host(url)
+      val path = CanonicalUrl.path(url)
+      val matching = robots.filter(r => r.host == host && path.startsWith(r.path_prefix))
+      if (matching.isEmpty) true
+      else matching.minBy(r => (-r.path_prefix.length, r.rule_order)).allow
+    }
+
+    // seed order defines discovery_time; canonicalize then first-occurrence
+    // dedup preserving seed order (driver-side: the seed list is small by
+    // definition — it is operator input, not crawl state)
+    val seedsCanonical: Seq[(String, Long)] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      cfg.seeds.foreach(s => seen += CanonicalUrl.canonicalize(s))
+      seen.toSeq.zipWithIndex.map { case (u, i) => (u, i.toLong) }
+    }
+    val seedRows = seedsCanonical.map { case (u, seq) =>
+      val h = CanonicalUrl.host(u)
+      (u, h, XxHash64.hashString(h), 0, seq, 0, robotsAllowed(u, cfg.robots))
+    }
+    val seedDf = seedRows
+      .toDF("canonical_url", "host", "host_hash", "priority", "discovery_time", "depth", "allowed")
+
+    val pending0 = seedDf.filter($"allowed").drop("allowed")
+      .as[FrontierEntry]
+    val seen0 = seedDf.select($"canonical_url", $"host_hash").as[SeenRow]
+
+    store.beginCommit()
+      .replace("pending", pending0.toDF())
+      .append("seen", seen0.toDF())
+      .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
+      .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
+      .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
+      .summary("wave" -> "0",
+        "seeds" -> seedsCanonical.size.toString,
+        "admitted" -> seedRows.size.toString,
+        "next_discovery_seq" -> seedRows.size.toString,
+        "fetched_total" -> "0")
+      .commit()
+
+    loop(spark, cfg, store, eng, robotsB)
+  }
+
+  /** Resume from the CURRENT snapshot of an existing store. */
+  def resume(spark: SparkSession, cfg: CrawlConfig, storeRoot: String,
+             eng: EngineConfig = EngineConfig()): RunHandle = {
+    val store = new SnapshotStore(storeRoot, spark)
+    require(store.currentVersion.nonEmpty, s"nothing to resume at $storeRoot")
+    val robotsB = spark.sparkContext.broadcast(cfg.robots)
+    loop(spark, cfg, store, eng, robotsB)
+  }
+
+  // ---------------------------------------------------------------------
+  private def loop(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore,
+                   eng: EngineConfig,
+                   robotsB: org.apache.spark.broadcast.Broadcast[Seq[RobotsRule]]): RunHandle = {
+    import spark.implicits._
+
+    val webCfg = cfg.web
+    val budget = cfg.budgetPerHost
+
+    // rebuild the broadcast bloom from the CURRENT seen-set (resume-safe):
+    // executor-side per-shard aggregation, tiny shard rows to driver, merge.
+    val bloom: ShardedBloom =
+      ShardedBloom.sized(eng.bloomShards, eng.bloomItemsPerShard, eng.bloomFpp)
+    if (eng.useBloom) {
+      val agg = udaf(new BloomBuildAggregator(
+        bloom.shards(0).bits.length, bloom.shards(0).numHashes))
+      val nsh = eng.bloomShards
+      val shardRows = store.read("seen")
+        .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
+        .groupBy($"__shard").agg(agg($"canonical_url").as("bits"))
+        .collect()
+      shardRows.foreach(r => bloom.mergeShardBytes(r.getInt(0), r.getAs[Array[Byte]]("bits")))
+    }
+    var bloomB = spark.sparkContext.broadcast(bloom)
+
+    var m = store.currentManifest.get
+    var wave = m.summary("wave").toInt + 1
+    var nextSeq = m.summary("next_discovery_seq").toLong
+    var fetchedTotal = m.summary("fetched_total").toLong
+    var wavesRun = 0
+
+    var done = false
+    var carriedPendingCount: Option[Long] = None
+    while (!done) {
+      val pending = store.read("pending").as[FrontierEntry].cache()
+      // the new pending count is derivable from the previous wave's
+      // arithmetic (deferred + admitted) — saves one job per wave
+      val pendingCount = carriedPendingCount.getOrElse(pending.count())
+      if (pendingCount == 0 || wave > cfg.maxWaves || fetchedTotal >= cfg.maxUrls) {
+        pending.unpersist()
+        done = true
+      } else {
+        val waveT0 = System.nanoTime()
+        // ---- Q1/Q2: per-host budget selection (one shuffle of pending only)
+        val hostWin = Window.partitionBy($"host_hash")
+          .orderBy($"priority", $"discovery_time", $"canonical_url")
+        val ranked = pending.toDF().withColumn("__rk", row_number().over(hostWin))
+        val selectedRaw = ranked.filter($"__rk" <= budget).drop("__rk")
+        val deferred = ranked.filter($"__rk" > budget).drop("__rk").as[FrontierEntry]
+
+        // ---- Q4: wave trace numbering (two-phase rank, no global window)
+        val selected = withGlobalSeq(selectedRaw,
+          Seq("priority", "discovery_time", "canonical_url"), "__seq0",
+          sizeHint = pendingCount)
+          .withColumn("trace_seq", $"__seq0" + 1L).drop("__seq0")
+          .cache()
+
+        // ---- Q3: salt hot hosts before the fetch/parse map (order-free
+        // work). One job yields both the per-host histogram and the wave
+        // size; gated so small waves pay zero extra jobs.
+        val salted =
+          if (pendingCount >= eng.minSaltPending) {
+            val hostHist = selected.groupBy($"host_hash").count().collect()
+              .map(r => r.getLong(0) -> r.getLong(1))
+            val waveSize = hostHist.map(_._2).sum.toDouble
+            val hot = hostHist.filter(_._2 > eng.saltThreshold * waveSize).map(_._1).toSet
+            if (hot.nonEmpty) {
+              val hotB = spark.sparkContext.broadcast(hot)
+              val fan = eng.saltFanout
+              selected.withColumn("__salt",
+                when($"host_hash".isin(hotB.value.toSeq: _*),
+                  pmod(xxhash64($"canonical_url"), lit(fan.toLong)))
+                  .otherwise(lit(0L)))
+                .repartition($"host_hash", $"__salt")
+                .drop("__salt")
+            } else selected
+          } else selected
+
+        // ---- S3 + T1: fetch + parse (typed map over the synthetic web) and
+        // per-partition fetch/parse lineage metrics
+        val parsed = salted
+          .select($"canonical_url", $"depth", $"trace_seq")
+          .as[(String, Int, Long)]
+          .mapPartitions { it =>
+            it.map { case (url, depth, seq) =>
+              val (spans, raw) = SyntheticWeb.fetchParse(url, webCfg)
+              val base = url
+              // resolve + canonicalize outlinks in document order
+              val links = raw.map(r => CanonicalUrl.resolve(base, r))
+              (url, depth, seq, spans, links,
+                org.apache.spark.TaskContext.getPartitionId())
+            }
+          }
+          .toDF("canonical_url", "depth", "trace_seq", "spans", "links", "__pid")
+          .cache()
+
+        val wDocs = parsed.select($"canonical_url".as("doc_id"), $"spans").as[Doc]
+        val wTrace = selected
+          .select(lit(wave).as("wave"), $"trace_seq".as("seq"), $"host", $"canonical_url")
+          .as[TraceRow]
+
+        // ---- outlink candidates with (trace_seq, link_idx) provenance
+        val candidates = parsed
+          .select($"trace_seq", $"depth", posexplode_outer($"links").as(Seq("link_idx", "url")))
+          .filter($"url".isNotNull)
+          .withColumn("host", udf((u: String) => CanonicalUrl.host(u)).apply($"url"))
+          .withColumn("host_hash", xxhash64($"host"))
+          .select($"url".as("canonical_url"), $"host", $"host_hash",
+            ($"depth" + 1).as("depth"), $"trace_seq", $"link_idx")
+
+        // one job over the cached parse output: per-partition fetch lineage
+        // counts AND the candidate-link total (map-side agg, tiny result)
+        val fetchStats = parsed.groupBy($"__pid")
+          .agg(count(lit(1)).as("n"), sum(size($"links")).as("cands"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        val fetchedThisWave = fetchStats.map(_._2).sum
+        val candTotal = fetchStats.map(_._3).sum
+
+        // ---- D1/D2: first-occurrence dedup across the wave (covers in-page):
+        // keep the (trace_seq, link_idx)-minimal sighting per canonical_url
+        val firstSeen = candidates
+          .groupBy($"canonical_url")
+          .agg(min(struct($"trace_seq", $"link_idx", $"host", $"host_hash", $"depth")).as("f"))
+          .select($"canonical_url", $"f.host".as("host"), $"f.host_hash".as("host_hash"),
+            $"f.depth".as("depth"), $"f.trace_seq".as("trace_seq"), $"f.link_idx".as("link_idx"))
+
+        // ---- D3: broadcast bloom pre-filter (executor-local, no shuffle of seen)
+        val bloomLocal = bloomB
+        val mightBeSeen = udf((url: String, hh: Long) => bloomLocal.value.mightContain(url, hh))
+        val tagged =
+          if (eng.useBloom)
+            firstSeen.withColumn("__maybe", mightBeSeen($"canonical_url", $"host_hash")).cache()
+          else firstSeen.withColumn("__maybe", lit(true)).cache()
+        val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe")
+        val maybeSeen = tagged.filter($"__maybe").drop("__maybe")
+
+        // ---- D4: exact anti-join of ONLY the bloom-maybe rows vs seen
+        val seenTbl = store.read("seen").select($"canonical_url")
+        val confirmedNew = maybeSeen.join(seenTbl, Seq("canonical_url"), "left_anti")
+        val newUrls = definitelyNew.unionByName(confirmedNew)
+
+        // ---- discovery numbering: global rank in (trace_seq, link_idx) order
+        val numbered = withGlobalSeq(newUrls, Seq("trace_seq", "link_idx"), "__rank",
+          sizeHint = candTotal)
+          .withColumn("discovery_time", $"__rank" + lit(nextSeq))
+          .withColumn("priority", $"depth")
+          .drop("__rank", "trace_seq", "link_idx")
+
+        // ---- robots at admission (like the oracle): denied occupy seen only
+        val rb = robotsB
+        val allowedUdf = udf((u: String) => {
+          val host = CanonicalUrl.host(u)
+          val path = CanonicalUrl.path(u)
+          val matching = rb.value.filter(r => r.host == host && path.startsWith(r.path_prefix))
+          if (matching.isEmpty) true
+          else matching.minBy(r => (-r.path_prefix.length, r.rule_order)).allow
+        })
+        val withRobots = numbered.withColumn("__allowed", allowedUdf($"canonical_url")).cache()
+        val admitted = withRobots.filter($"__allowed")
+          .select($"canonical_url", $"host", $"host_hash", $"priority", $"discovery_time", $"depth")
+          .as[FrontierEntry]
+        // one job: discovered + denied together
+        val robotsCounts = withRobots.groupBy($"__allowed").count().collect()
+          .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        val discovered = robotsCounts.values.sum
+        val denied = robotsCounts.getOrElse(false, 0L)
+
+        val newSeen = withRobots.select($"canonical_url", $"host_hash").as[SeenRow]
+
+        // ---- metrics with per-partition lineage from the fetch stage
+        val deferredCount = pendingCount - fetchedThisWave
+        val metricsRows = {
+          val base = fetchStats.sortBy(_._1).map { case (pid, n, _) =>
+            WaveMetrics(wave, pid, n, n, 0L, 0L, 0L, 0L)
+          }.toSeq
+          val tail = WaveMetrics(wave, -1, 0L, 0L, discovered,
+            candTotal - discovered /* deduped within wave or vs seen */,
+            denied, deferredCount)
+          base :+ tail
+        }
+
+        // ---- commit wave atomically: pending COW, everything else appended.
+        // The incremental bloom update (executor-side shard aggregation —
+        // bit arrays to the driver, never URL strings) runs CONCURRENTLY
+        // with the data writes; both must finish before the wave ends.
+        val newPending = deferred.toDF().unionByName(admitted.toDF())
+        nextSeq += discovered
+        fetchedTotal += fetchedThisWave
+        val bloomFut: scala.concurrent.Future[Option[ShardedBloom]] =
+          if (eng.useBloom && discovered > 0) {
+            import scala.concurrent.ExecutionContext.Implicits.global
+            scala.concurrent.Future {
+              val agg = udaf(new BloomBuildAggregator(
+                bloom.shards(0).bits.length, bloom.shards(0).numHashes))
+              val nsh = eng.bloomShards
+              val shardRows = newSeen.toDF()
+                .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
+                .groupBy($"__shard").agg(agg($"canonical_url").as("bits"))
+                .collect()
+              val merged = bloomB.value.copyOf()
+              shardRows.foreach(r =>
+                merged.mergeShardBytes(r.getInt(0), r.getAs[Array[Byte]]("bits")))
+              Some(merged)
+            }
+          } else scala.concurrent.Future.successful(None)
+
+        store.beginCommit()
+          .replace("pending", newPending)
+          .append("seen", newSeen.toDF())
+          .append("trace", wTrace.toDF())
+          .append("docs", wDocs.toDF())
+          .append("metrics", metricsRows.toDF())
+          .summary(
+            "wave" -> wave.toString,
+            "next_discovery_seq" -> nextSeq.toString,
+            "fetched_total" -> fetchedTotal.toString,
+            "wave_fetched" -> fetchedThisWave.toString,
+            "wave_discovered" -> discovered.toString,
+            "wave_denied" -> denied.toString)
+          .commit()
+        // swap the broadcast only after all wave jobs (commit writes) are
+        // done — destroying earlier races plans that still reference it
+        scala.concurrent.Await
+          .result(bloomFut, scala.concurrent.duration.Duration.Inf)
+          .foreach { merged =>
+            val old = bloomB
+            bloomB = spark.sparkContext.broadcast(merged)
+            old.destroy()
+          }
+        carriedPendingCount = Some(deferredCount + (discovered - denied))
+
+        pending.unpersist()
+        selected.unpersist()
+        parsed.unpersist()
+        tagged.unpersist()
+        withRobots.unpersist()
+        if (eng.verbose) {
+          val ms = (System.nanoTime() - waveT0) / 1e6
+          println(f"[engine] wave=$wave fetched=$fetchedThisWave discovered=$discovered " +
+            f"denied=$denied deferred=$deferredCount ms=$ms%.0f")
+        }
+        wave += 1
+        wavesRun += 1
+      }
+    }
+    RunHandle(store, wavesRun, fetchedTotal)
+  }
+
+  /** Load final results from a store for comparison with the oracle. */
+  def result(spark: SparkSession, storeRoot: String): CrawlResult = {
+    import spark.implicits._
+    val store = new SnapshotStore(storeRoot, spark)
+    val trace = store.read("trace").as[TraceRow]
+      .collect().sortBy(t => (t.wave, t.seq)).toSeq
+    val seen = store.read("seen").as[SeenRow].collect().map(_.canonical_url).toSet
+    val docs = store.read("docs").as[Doc].collect().toSeq
+    val traceOrder = trace.map(_.canonical_url).zipWithIndex.toMap
+    CrawlResult(trace, seen, docs.sortBy(d => traceOrder.getOrElse(d.doc_id, Int.MaxValue)))
+  }
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.util.XxHash64
+
+import java.nio.charset.StandardCharsets
+
+/** Cuckoo filter (public construction, Fan et al. 2014, "Cuckoo Filter:
+  * Practically Better Than Bloom"): the deletion-safe URL-seen variant
+  * demanded by BASELINE.json north_star ("cuckoo-filter fallback for
+  * deletion-safe dedup" — re-crawl / expiry scenarios where seen entries
+  * must be removable, which a bloom filter cannot do).
+  *
+  *  - 16-bit fingerprints, 4 slots per bucket, partial-key cuckoo hashing:
+  *    i2 = i1 XOR hash(fingerprint), so either bucket is derivable from the
+  *    other plus the stored fingerprint.
+  *  - bounded eviction chain (maxKicks) with a small overflow stash so
+  *    inserts never silently fail below ~0.95 load.
+  *  - DETERMINISTIC eviction (slot = kicks % 4, no RNG) — same insert
+  *    sequence always yields the same table, keeping engine runs replayable.
+  *
+  * Same no-false-negative contract as the bloom: `mightContain == false`
+  * means definitely not present (for items actually inserted and not
+  * deleted). Deletes must only be issued for inserted items (standard
+  * cuckoo-filter caveat).
+  */
+final class CuckooFilter(numBucketsPow2: Int, maxKicks: Int = 500)
+    extends UrlSeenFilter {
+  require((numBucketsPow2 & (numBucketsPow2 - 1)) == 0 && numBucketsPow2 > 0,
+    "numBuckets must be a power of two")
+
+  private val SlotsPerBucket = 4
+  private val table = new Array[Short](numBucketsPow2 * SlotsPerBucket)
+  private val stash = scala.collection.mutable.ArrayBuffer.empty[(Int, Short)]
+  private var count = 0L
+
+  @inline private def mask: Int = numBucketsPow2 - 1
+
+  private def fingerprint(s: String): Short = {
+    val h = XxHash64.hash(s.getBytes(StandardCharsets.UTF_8), 0x0F17E5EEDL)
+    val fp = (h & 0xFFFF).toInt
+    (if (fp == 0) 1 else fp).toShort // 0 marks an empty slot
+  }
+
+  private def bucket1(s: String): Int =
+    (XxHash64.hash(s.getBytes(StandardCharsets.UTF_8), 0xB0C4E7L) & mask).toInt
+
+  private def altBucket(i: Int, fp: Short): Int =
+    (i ^ XxHash64.hash(Array((fp & 0xFF).toByte, ((fp >> 8) & 0xFF).toByte), 0xA17FL).toInt) & mask
+
+  private def tryInsertAt(b: Int, fp: Short): Boolean = {
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (table(b * SlotsPerBucket + s) == 0) {
+        table(b * SlotsPerBucket + s) = fp
+        return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  private def bucketContains(b: Int, fp: Short): Boolean = {
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (table(b * SlotsPerBucket + s) == fp) return true
+      s += 1
+    }
+    false
+  }
+
+  private def removeFrom(b: Int, fp: Short): Boolean = {
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (table(b * SlotsPerBucket + s) == fp) {
+        table(b * SlotsPerBucket + s) = 0
+        return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  /** Insert; returns false only if the filter is catastrophically full
+    * (eviction chain exhausted AND stash over its bound).
+    */
+  def insert(s: String): Boolean = {
+    val fp = fingerprint(s)
+    val i1 = bucket1(s)
+    val i2 = altBucket(i1, fp)
+    if (tryInsertAt(i1, fp) || tryInsertAt(i2, fp)) { count += 1; return true }
+    // deterministic eviction chain
+    var b = i1
+    var f = fp
+    var kicks = 0
+    while (kicks < maxKicks) {
+      val slot = b * SlotsPerBucket + (kicks % SlotsPerBucket)
+      val evicted = table(slot)
+      table(slot) = f
+      f = evicted
+      b = altBucket(b, f)
+      if (tryInsertAt(b, f)) { count += 1; return true }
+      kicks += 1
+    }
+    stash += ((b, f))
+    count += 1
+    stash.size <= 64
+  }
+
+  override def mightContain(s: String): Boolean = {
+    val fp = fingerprint(s)
+    val i1 = bucket1(s)
+    val i2 = altBucket(i1, fp)
+    bucketContains(i1, fp) || bucketContains(i2, fp) ||
+      stash.exists(e => e._2 == fp && (e._1 == i1 || e._1 == i2))
+  }
+
+  /** Delete one copy of s's fingerprint. Only call for items actually
+    * inserted (deleting a never-inserted item can evict a colliding one —
+    * inherent to the structure).
+    */
+  def delete(s: String): Boolean = {
+    val fp = fingerprint(s)
+    val i1 = bucket1(s)
+    val i2 = altBucket(i1, fp)
+    val removed = removeFrom(i1, fp) || removeFrom(i2, fp) || {
+      val idx = stash.indexWhere(e => e._2 == fp && (e._1 == i1 || e._1 == i2))
+      if (idx >= 0) { stash.remove(idx); true } else false
+    }
+    if (removed) count -= 1
+    removed
+  }
+
+  def size: Long = count
+  def loadFactor: Double = count.toDouble / (numBucketsPow2.toLong * SlotsPerBucket)
+  override def approxBits: Long = count
+
+  def serialize(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + table.length * 2 + 4 + stash.size * 6)
+    bb.putInt(numBucketsPow2)
+    bb.putInt(maxKicks)
+    table.foreach(bb.putShort)
+    bb.putInt(stash.size)
+    stash.foreach { case (b, f) => bb.putInt(b); bb.putShort(f) }
+    bb.array()
+  }
+}
+
+object CuckooFilter {
+  /** Capacity-sized: next power of two covering n items at ~0.9 load. */
+  def sized(expectedItems: Long): CuckooFilter = {
+    val bucketsNeeded = math.max(1L, math.ceil(expectedItems / (4 * 0.9)).toLong)
+    var p = 1
+    while (p < bucketsNeeded) p <<= 1
+    new CuckooFilter(p)
+  }
+
+  def deserialize(bytes: Array[Byte]): CuckooFilter = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val nb = bb.getInt
+    val mk = bb.getInt
+    val f = new CuckooFilter(nb, mk)
+    var i = 0
+    while (i < nb * 4) { f.tableSet(i, bb.getShort); i += 1 }
+    val ns = bb.getInt
+    i = 0
+    while (i < ns) { f.stashAdd(bb.getInt, bb.getShort); i += 1 }
+    f.recount()
+    f
+  }
+
+  // deserialization hooks
+  private implicit final class Access(private val f: CuckooFilter) extends AnyVal {
+    def tableSet(i: Int, v: Short): Unit = f.table(i) = v
+    def stashAdd(b: Int, fp: Short): Unit = f.stash += ((b, fp))
+    def recount(): Unit = {
+      var c = 0L
+      f.table.foreach(v => if (v != 0) c += 1)
+      f.count = c + f.stash.size
+    }
+  }
+}

@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Iceberg-SEMANTICS snapshot table store over Parquet + JSON manifests.
+  *
+  * BASELINE.json north_rule demands "Iceberg tables ... resumable from
+  * checkpoint with per-partition lineage + metrics", but no Iceberg runtime
+  * exists in this sandbox (stock Spark 4.1.2 jars only — SURVEY.md §7.3).
+  * This layer implements the semantics Iceberg provides, API-shaped so a
+  * real catalog can replace it:
+  *
+  *  - data files are immutable Parquet directories, written once;
+  *  - a snapshot = JSON manifest listing, per logical table, the data dirs
+  *    (and their files — per-partition lineage) composing that version,
+  *    plus a summary map of metrics;
+  *  - commit = write data, write manifest vN.json, then ATOMICALLY swap the
+  *    CURRENT pointer (tmp file + ATOMIC_MOVE) — readers see old or new,
+  *    never a partial state;
+  *  - time-travel = read any retained manifest version;
+  *  - resume = open the CURRENT manifest and continue.
+  *
+  * Table modes per commit: `replace` (new version's dirs only — e.g. the
+  * pending frontier, copy-on-write) and `append` (parent dirs + new dir —
+  * e.g. seen/docs/trace/metrics logs). At 10^10-URL scale the pending
+  * frontier would move to merge-on-read deltas with periodic compaction;
+  * the manifest format already carries the per-version dir lists needed.
+  *
+  * Layout:
+  * {{{
+  *   root/
+  *     data/<table>/v<version>/part-*.parquet
+  *     manifests/v<version>.json
+  *     CURRENT                       // contains the version number
+  * }}}
+  */
+/** One logical table's state within a manifest: schema, the data dirs
+  * composing the table at this version, and the individual data files
+  * (per-partition lineage).
+  */
+case class TableState(schemaDdl: String, dataDirs: List[String], files: List[String])
+
+case class Manifest(
+    version: Long,
+    parent: Long, // -1 = none
+    summary: Map[String, String],
+    tables: Map[String, TableState])
+
+final class SnapshotStore(val root: String, spark: SparkSession) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def rootPath: Path = Paths.get(root)
+  private def manifestPath(v: Long): Path = rootPath.resolve(s"manifests/v$v.json")
+  private def currentPath: Path = rootPath.resolve("CURRENT")
+
+  def currentVersion: Option[Long] =
+    if (Files.exists(currentPath))
+      Some(new String(Files.readAllBytes(currentPath), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  def manifest(v: Long): Manifest = {
+    val json = new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8)
+    JsonMethods.parse(json).extract[Manifest]
+  }
+
+  def currentManifest: Option[Manifest] = currentVersion.map(manifest)
+
+  /** Read a logical table at a version (default: current). Empty table
+    * (no data files yet) reads as an empty DataFrame with the recorded
+    * schema.
+    */
+  def read(table: String, version: Option[Long] = None): DataFrame = {
+    val m = version.map(manifest).orElse(currentManifest)
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    val st = m.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"unknown table '$table' in v${m.version}"))
+    val schema = StructType.fromDDL(st.schemaDdl)
+    val dirsWithData = st.dataDirs.map(d => rootPath.resolve(d)).filter { p =>
+      Files.isDirectory(p) && Files.list(p).anyMatch(f => f.toString.endsWith(".parquet"))
+    }
+    if (dirsWithData.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(dirsWithData.map(_.toString): _*)
+  }
+
+  def beginCommit(): Commit = new Commit()
+
+  /** Normalize a schema for storage: nullability is a property of the data
+    * in a given write, not of the logical table — appends from differently
+    * derived plans must unify.
+    */
+  private def ddlOf(schema: StructType): String =
+    StructType(schema.fields.map(_.copy(nullable = true))).toDDL
+
+  /** Builder for one atomic multi-table commit. Data writes are deferred to
+    * commit() and run as CONCURRENT Spark jobs (independent tables, FIFO
+    * scheduler overlaps their stages), then the manifest is written and the
+    * CURRENT pointer swapped atomically — data-before-metadata ordering
+    * exactly as an Iceberg commit.
+    */
+  final class Commit {
+    private val newVersion: Long = currentVersion.map(_ + 1).getOrElse(0L)
+    private val parentManifest: Option[Manifest] = currentManifest
+    private var tables: Map[String, TableState] =
+      parentManifest.map(_.tables).getOrElse(Map.empty)
+    private var summaryMap: Map[String, String] = Map.empty
+    private var queued: List[(String, DataFrame, Boolean)] = Nil // (table, df, isAppend)
+
+    private def writeData(table: String, df: DataFrame): (String, List[String]) = {
+      val rel = s"data/$table/v$newVersion"
+      val abs = rootPath.resolve(rel)
+      df.write.mode("overwrite").parquet(abs.toString)
+      val files =
+        if (Files.isDirectory(abs)) {
+          val s = Files.list(abs)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toList.sorted
+          } finally s.close()
+        } else Nil
+      (rel, files.map(f => s"$rel/$f"))
+    }
+
+    /** Replace the table's content with df (copy-on-write). */
+    def replace(table: String, df: DataFrame): Commit = {
+      queued ::= ((table, df, false))
+      this
+    }
+
+    /** Append df to the table (log-structured; no rewrite of prior data). */
+    def append(table: String, df: DataFrame): Commit = {
+      val prev = tables.get(table)
+      prev.foreach { p =>
+        require(p.schemaDdl == ddlOf(df.schema),
+          s"append schema mismatch for '$table': ${p.schemaDdl} vs ${ddlOf(df.schema)}")
+      }
+      queued ::= ((table, df, true))
+      this
+    }
+
+    /** Declare an empty table (schema only) if absent — lets wave 0 commit
+      * tables that gain data later.
+      */
+    def declare(table: String, schema: StructType): Commit = {
+      if (!tables.contains(table))
+        tables += table -> TableState(ddlOf(schema), Nil, Nil)
+      this
+    }
+
+    def summary(kv: (String, String)*): Commit = {
+      summaryMap ++= kv
+      this
+    }
+
+    /** Write all queued table data (concurrently), then manifest, then
+      * atomically swap CURRENT. Returns the version.
+      */
+    def commit(): Long = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = queued.reverse.map { case (table, df, isAppend) =>
+        Future((table, isAppend, ddlOf(df.schema), writeData(table, df)))
+      }
+      Await.result(Future.sequence(writes), Duration.Inf).foreach {
+        case (table, isAppend, ddl, (dir, files)) =>
+          val prev = tables.get(table).filter(_ => isAppend)
+          tables += table -> TableState(
+            ddl,
+            prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
+            prev.map(_.files).getOrElse(Nil) ++ files)
+      }
+      Files.createDirectories(rootPath.resolve("manifests"))
+      val m = Manifest(newVersion, parentManifest.map(_.version).getOrElse(-1L),
+        summaryMap, tables)
+      val json = Serialization.writePretty(m)
+      Files.write(manifestPath(newVersion), json.getBytes(StandardCharsets.UTF_8))
+      val tmp = rootPath.resolve(s"CURRENT.tmp.$newVersion")
+      Files.write(tmp, newVersion.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      newVersion
+    }
+  }
+}

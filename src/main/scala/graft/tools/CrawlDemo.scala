@@ -23,5 +23,29 @@ object CrawlDemo {
     res.trace.take(5).foreach(t => println(s"[oracle] trace $t"))
     val hosts = res.seen.groupBy(CanonicalUrl.host).map { case (h, s) => h -> s.size }
     println(s"[oracle] seen-by-host=${hosts.toSeq.sortBy(_._1)}")
+
+    // distributed engine on the same config
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("crawl-demo")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("crawldemo").toString
+    val t0 = System.nanoTime()
+    val handle = CrawlDriver.run(spark, cfg, root,
+      CrawlDriver.EngineConfig(verbose = true))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val er = CrawlDriver.result(spark, root)
+    println(f"[engine] waves=${handle.wavesRun} fetched=${er.trace.size} " +
+      f"seen=${er.seen.size} docs=${er.docs.size} secs=$secs%.1f " +
+      f"urls_per_sec=${er.trace.size / secs}%.1f")
+    val ok = er.trace == res.trace && er.seen == res.seen &&
+      er.docs.map(d => (d.doc_id, d.spans)) == res.docs.map(d => (d.doc_id, d.spans))
+    println(s"[engine] oracle-equal=$ok store=$root")
+    spark.stop()
+    if (!ok) sys.exit(1)
   }
 }

@@ -1,0 +1,123 @@
+package graft.crawl
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The core correctness gate (SURVEY.md §5.1): the distributed engine must
+  * equal the sequential oracle bit-for-bit on trace (crawl ordering), seen
+  * (URL-seen set) and docs (per-row span-sequence equality on
+  * (kind, text, media_ref, order)) — BASELINE.json north_rule/input_hint.
+  */
+class CrawlEquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def mkCfg(nSeeds: Int, budget: Int, hosts: Int = 8, pages: Int = 30,
+                    maxWaves: Int = 1000): CrawlConfig = {
+    val web = SyntheticWeb.WebConfig(hosts = hosts, pagesPerHost = pages)
+    CrawlConfig(SyntheticWeb.seedUrls(nSeeds, web), budget, maxWaves,
+      web = web, robots = SyntheticWeb.robotsFixture(web))
+  }
+
+  private def tmp(): String = Files.createTempDirectory("crawl").toString
+
+  private def assertEqualResults(oracle: CrawlResult, engine: CrawlResult): Unit = {
+    assert(engine.trace === oracle.trace, "crawl ordering (trace) differs")
+    assert(engine.seen === oracle.seen, "URL-seen set differs")
+    assert(engine.docs.map(_.doc_id) === oracle.docs.map(_.doc_id), "doc set/order differs")
+    engine.docs.zip(oracle.docs).foreach { case (e, o) =>
+      assert(e.spans.size === o.spans.size, s"span count differs for ${e.doc_id}")
+      e.spans.zip(o.spans).zipWithIndex.foreach { case ((es, os), i) =>
+        assert((es.kind, es.text, es.media_ref, es.offset) ===
+          (os.kind, os.text, os.media_ref, os.offset),
+          s"span $i of ${e.doc_id} differs")
+      }
+    }
+  }
+
+  private def runBoth(cfg: CrawlConfig,
+                      eng: CrawlDriver.EngineConfig = CrawlDriver.EngineConfig())
+  : (CrawlResult, CrawlResult, String) = {
+    val (oracleRes, _) = new RefCrawler(cfg).run()
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root, eng)
+    (oracleRes, CrawlDriver.result(spark, root), root)
+  }
+
+  test("engine == oracle on the standard config") {
+    val (o, e, _) = runBoth(mkCfg(nSeeds = 24, budget = 2))
+    assertEqualResults(o, e)
+  }
+
+  test("engine == oracle with budget 1 (politeness-serialized)") {
+    val (o, e, _) = runBoth(mkCfg(nSeeds = 16, budget = 1, hosts = 4, pages = 20))
+    assertEqualResults(o, e)
+  }
+
+  test("engine == oracle under different shuffle parallelism (determinism)") {
+    val cfg = mkCfg(nSeeds = 24, budget = 3)
+    val (oracleRes, _) = new RefCrawler(cfg).run()
+    for (parts <- Seq("3", "13")) {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val root = tmp()
+        CrawlDriver.run(spark, cfg, root)
+        assertEqualResults(oracleRes, CrawlDriver.result(spark, root))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
+  test("bloom off == bloom on == tiny bloom forced to high FP rate") {
+    val cfg = mkCfg(nSeeds = 16, budget = 2, hosts = 4, pages = 20)
+    val (oracleRes, _) = new RefCrawler(cfg).run()
+    val engines = Seq(
+      CrawlDriver.EngineConfig(useBloom = false),
+      CrawlDriver.EngineConfig(useBloom = true),
+      // 2 shards x 16 bytes: FP-saturated — exactness must not depend on FP rate
+      CrawlDriver.EngineConfig(useBloom = true, bloomShards = 2,
+        bloomItemsPerShard = 4, bloomFpp = 0.5))
+    engines.foreach { eng =>
+      val root = tmp()
+      CrawlDriver.run(spark, cfg, root, eng)
+      assertEqualResults(oracleRes, CrawlDriver.result(spark, root))
+    }
+  }
+
+  test("resume from mid-crawl checkpoint equals uninterrupted run") {
+    val cfg = mkCfg(nSeeds = 24, budget = 2)
+    val (oracleRes, _) = new RefCrawler(cfg).run()
+    val root = tmp()
+    // run only 3 waves, "crash", then resume to completion
+    CrawlDriver.run(spark, cfg.copy(maxWaves = 3), root)
+    val mid = CrawlDriver.result(spark, root)
+    assert(mid.trace.nonEmpty && mid.trace.map(_.wave).max === 3)
+    CrawlDriver.resume(spark, cfg, root)
+    assertEqualResults(oracleRes, CrawlDriver.result(spark, root))
+  }
+
+  test("maxUrls cap: engine == oracle") {
+    val (o, e, _) = runBoth(mkCfg(nSeeds = 24, budget = 2).copy(maxUrls = 30))
+    assertEqualResults(o, e)
+  }
+
+  test("wave metrics roll up to oracle per-wave totals") {
+    import spark.implicits._
+    val cfg = mkCfg(nSeeds = 24, budget = 2)
+    val (_, oracleTotals) = new RefCrawler(cfg).run()
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root)
+    val store = new graft.sources.SnapshotStore(root, spark)
+    val m = store.read("metrics").as[WaveMetrics].collect()
+    val byWave = m.groupBy(_.wave)
+    oracleTotals.foreach { t =>
+      val rows = byWave(t.wave)
+      assert(rows.map(_.fetched).sum === t.fetched, s"wave ${t.wave} fetched")
+      assert(rows.map(_.discovered).sum === t.discovered, s"wave ${t.wave} discovered")
+      assert(rows.map(_.deduped).sum === t.deduped, s"wave ${t.wave} deduped")
+      assert(rows.map(_.robots_denied).sum === t.robots_denied, s"wave ${t.wave} denied")
+      assert(rows.map(_.budget_deferred).sum === t.budget_deferred, s"wave ${t.wave} deferred")
+    }
+    // per-partition lineage present: fetch rows tagged with partition ids
+    assert(m.exists(_.partition_id >= 0))
+  }
+}
