@@ -1,13 +1,420 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.crawl.{CrawlConfig, CrawlDriver, SyntheticWeb}
+import graft.functions.CanonicalUrl
+import graft.operators.{Multimodal, Similarity, TextOps}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract (see SURVEY.md §2/§5.3): one query per exposed operator,
+  * each with a DuckDB-runnable oracle SQL twin over the same parquet
+  * tables. Column names/types are aliased identically on both sides; double
+  * aggregates are rounded on both sides (summation association).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: end-to-end distributed crawl (frontier, budget, robots,
+    * bloom-dedup, snapshot checkpoints) on the deterministic synthetic web;
+    * returns the crawl-ordering trace. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(16, web), budgetPerHost = 4,
+      maxWaves = 5, web = web, robots = SyntheticWeb.robotsFixture(web))
+    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    CrawlDriver.run(spark, cfg, root)
+    new graft.sources.SnapshotStore(root, spark).read("trace")
+  }
+
+  // ---- shared text fragments (Spark side) --------------------------------
+  private def toks(c: Column) = TextOps.tokens(c)
+  private def sh3(ts: Column, text: Column) = TextOps.shingles(ts, text, 3)
+
+  private val canonUdf = udf((s: String) => CanonicalUrl.canonicalize(s))
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("ts", toks(col("text")))
+      .withColumn("sh", sh3(col("ts"), col("text")))
+
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val mh = (0 until 8).map(i => TextOps.minhash(col("sh"), i).as(s"mh$i"))
+    docsWithShingles(s, dir).select((col("doc_id") +: mh): _*)
+  }
+
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 8).map(i =>
+        struct(lit(i).as("band"), col(s"mh$i").as("mh"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.mh").as("mh"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("mh"))
+    a.join(b, Seq("band", "mh")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  // DuckDB twins of the shared fragments
+  private val SqlToks =
+    "list_filter(string_split(text, ' '), t -> t != '')"
+  private val SqlSh3 =
+    s"CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts)-1), " +
+      "j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2]) ELSE [text] END"
+  private val SqlDocsWithShingles =
+    s"WITH t0 AS (SELECT *, $SqlToks AS ts FROM documents), " +
+      s"d AS (SELECT *, $SqlSh3 AS sh FROM t0)"
+  private def sqlMinhashSigs: String =
+    s"$SqlDocsWithShingles, sigs AS (SELECT doc_id, " +
+      (0 until 8).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS mh$i").mkString(", ") +
+      " FROM d)"
+  private def sqlLshPairs: String =
+    s"$sqlMinhashSigs, bands AS (" +
+      (0 until 8).map(i => s"SELECT doc_id, $i AS band, mh$i AS mh FROM sigs")
+        .mkString(" UNION ALL ") + "), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)"
+
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data-pipeline ops (dedup / similarity / text / multimodal).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation (A1/A2)
+    "q_hash_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+    }),
+    "q_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+    }),
+    // ---- per-group top-K == the politeness-budget operator shape (Q1/Q2)
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("rn"))
+    }),
+    // ---- anti/semi join == seen-set dedup shape (D4)
+    "q_anti_join" -> ((s, dir) => {
+      val bld = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      T(s, dir, "orders")
+        .join(bld, col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val bld = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      T(s, dir, "orders")
+        .join(bld, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+    // ---- first-occurrence dedup (D2)
+    "q_first_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    }),
+    // ---- sort / limit (O1/O2)
+    "q_sort_limit" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+    // ---- set ops (O3/O4)
+    "q_union" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+        .unionByName(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
+    }),
+    "q_except" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_totalprice") > 300000).select(col("o_orderkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_orderkey")))
+    }),
+    // ---- analytic window (running politeness-budget accounting shape)
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_quantity")).over(w), 4).as("running_qty"))
+    }),
+    // ---- multi-join + agg (broadcast dims)
+    "q_join_agg" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("total"))
+    }),
+    // ---- explode / spans (T2)
+    "q_token_explode" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    }),
+    // ---- text analysis: token counting
+    "q_token_count" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+    }),
+    // ---- text analysis: quality scoring
+    "q_quality" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("ts", toks(col("text")))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ts"))).cast("long").as("uniq_tokens"),
+          round(size(array_distinct(col("ts"))).cast("double") / size(col("ts")), 6)
+            .as("uniq_ratio"),
+          round(aggregate(transform(col("ts"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("double") / size(col("ts")), 6)
+            .as("avg_token_len"))
+    }),
+    // ---- text analysis: marker-based language/category ID
+    "q_lang_id" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val g1 = TextOps.markerScore(col("text"), Seq("join", "scan", "merge")).cast("int")
+      val g2 = TextOps.markerScore(col("text"), Seq("filter", "sort", "window")).cast("int")
+      val g3 = TextOps.markerScore(col("text"), Seq("stream", "batch", "query")).cast("int")
+      d.withColumn("score_g1", g1).withColumn("score_g2", g2).withColumn("score_g3", g3)
+        .withColumn("pred", TextOps.argmaxLabel(Seq(
+          "g1" -> col("score_g1"), "g2" -> col("score_g2"), "g3" -> col("score_g3"))))
+        .select(col("doc_id"), col("score_g1"), col("score_g2"), col("score_g3"), col("pred"))
+    }),
+    // ---- fingerprinting
+    "q_fingerprint" -> ((s, dir) => {
+      docsWithShingles(s, dir).select(col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        array_min(transform(col("sh"), x => md5(x))).as("fp_minshingle"))
+    }),
+    // ---- exact dedup
+    "q_dedup_exact" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    }),
+    // ---- MinHash signatures
+    "q_minhash_sig" -> ((s, dir) => minhashSigs(s, dir)),
+    // ---- MinHash-LSH candidate pairs
+    "q_lsh_pairs" -> ((s, dir) => lshPairs(s, dir)),
+    // ---- n-gram Jaccard over LSH candidates
+    "q_jaccard" -> ((s, dir) => {
+      val shs = docsWithShingles(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+      val sizes = shs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cands = lshPairs(s, dir)
+      val inter = cands
+        .join(shs.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+            .as("jaccard"))
+    }),
+    // ---- SimHash signatures
+    "q_simhash" -> ((s, dir) => {
+      val toksDf = T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      val sums = TextOps.simhashBitSums(col("t"))
+      toksDf.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          TextOps.simhashFromSums((0 until 16).map(j => col(s"s$j"))).as("simhash"))
+    }),
+    // ---- ANN: exact cosine top-k baseline
+    "q_ann_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(T(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
+    // ---- ANN: LSH-bucketed scale path (approximate — no SQL oracle)
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(T(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
+    // ---- embedding near-dup pairs (label-blocked)
+    "q_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(T(s, dir, "embeddings"), threshold = 0.30)),
+    // ---- multimodal metadata over binary payloads
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.docsAsMedia(s, T(s, dir, "documents"))
+      media.select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        (lit(64) + pmod(octet_length(col("payload")).cast("long"), lit(448L))).as("width"),
+        (lit(64) + pmod(octet_length(col("payload")).cast("long") * 7, lit(448L))).as("height"),
+        (lit(1) + pmod(octet_length(col("payload")).cast("long"), lit(15L))).as("n_frames"))
+    }),
+    // ---- URL canonicalization (P1) — oracle constructs the expected form
+    "q_url_canonicalize" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        canonUdf(concat(lit("HTTP://HOST"), pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".TEST:80/a/../p/"), col("doc_id").cast("string"), lit("#frag")))
+          .as("canonical_url"))
+    })
+  )
+
+  /** DuckDB-runnable twins. q_ann_lsh omitted (approximate by design —
+    * rows-only check; its exactness baseline is q_ann_topk).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_hash_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT user_id, event_id, event_type, rn FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin,
+    "q_first_dedup" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_union" ->
+      """SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+        |EXCEPT
+        |SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_token_explode" ->
+      s"SELECT doc_id, unnest($SqlToks) AS token FROM documents",
+    "q_token_count" ->
+      s"SELECT doc_id, len($SqlToks) AS n_tokens, length(text)::BIGINT AS n_chars FROM documents",
+    "q_quality" ->
+      s"""WITH t0 AS (SELECT doc_id, text, $SqlToks AS ts FROM documents)
+         |SELECT doc_id, length(text)::BIGINT AS n_chars, len(ts)::BIGINT AS n_tokens,
+         |  len(list_distinct(ts))::BIGINT AS uniq_tokens,
+         |  round(len(list_distinct(ts))::DOUBLE / len(ts), 6) AS uniq_ratio,
+         |  round(list_sum(list_transform(ts, t -> length(t)))::DOUBLE / len(ts), 6)
+         |    AS avg_token_len
+         |FROM t0""".stripMargin,
+    "q_lang_id" -> {
+      def score(ws: Seq[String]) = ws.map(w =>
+        s"(CASE WHEN position(' $w ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT doc_id,
+         |  (${score(Seq("join", "scan", "merge"))})::INTEGER AS score_g1,
+         |  (${score(Seq("filter", "sort", "window"))})::INTEGER AS score_g2,
+         |  (${score(Seq("stream", "batch", "query"))})::INTEGER AS score_g3,
+         |  CASE
+         |    WHEN (${score(Seq("join", "scan", "merge"))}) >=
+         |         greatest((${score(Seq("filter", "sort", "window"))}),
+         |                  (${score(Seq("stream", "batch", "query"))})) THEN 'g1'
+         |    WHEN (${score(Seq("filter", "sort", "window"))}) >=
+         |         (${score(Seq("stream", "batch", "query"))}) THEN 'g2'
+         |    ELSE 'g3' END AS pred
+         |FROM documents""".stripMargin
+    },
+    "q_fingerprint" ->
+      s"""$SqlDocsWithShingles
+         |SELECT doc_id, md5(text) AS fp_md5,
+         |  list_min(list_transform(sh, x -> md5(x))) AS fp_minshingle
+         |FROM d""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_minhash_sig" ->
+      s"$sqlMinhashSigs SELECT * FROM sigs",
+    "q_lsh_pairs" ->
+      s"$sqlLshPairs SELECT doc_a, doc_b FROM cand",
+    "q_jaccard" ->
+      s"""$sqlLshPairs,
+         |shs AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM d),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+         |  JOIN shs a ON a.doc_id = c.doc_a
+         |  JOIN shs b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(i.i::DOUBLE / (sa.n + sb.n - i.i), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin,
+    "q_simhash" -> {
+      val bits = (1 to 16).map(j =>
+        s"CASE WHEN sum(CASE WHEN substr(md5(t), $j, 1) >= '8' THEN 1 ELSE -1 END) > 0" +
+          " THEN '1' ELSE '0' END").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest($SqlToks) AS t FROM documents)
+         |SELECT doc_id, concat($bits) AS simhash FROM toks GROUP BY doc_id""".stripMargin
+    },
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 8),
+        |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 65), j -> qe[j] * emb[j])) / (qn * nrm) AS c
+        |      FROM q, n WHERE n.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rank FROM p)
+        |WHERE rank <= 5""".stripMargin,
+    "q_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, label, emb,
+        |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e)
+        |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    j -> a.emb[j] * b.emb[j])) / (a.nrm * b.nrm), 6) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, 65),
+        |    j -> a.emb[j] * b.emb[j])) / (a.nrm * b.nrm) >= 0.30""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+        | 64 + strlen(text)::BIGINT % 448 AS width,
+        | 64 + (strlen(text)::BIGINT * 7) % 448 AS height,
+        | 1 + strlen(text)::BIGINT % 15 AS n_frames
+        |FROM documents""".stripMargin,
+    "q_url_canonicalize" ->
+      """SELECT doc_id, 'http://host' || (doc_id % 20) || '.test/p/' || doc_id
+        |  AS canonical_url
+        |FROM documents""".stripMargin
+  )
 }
