@@ -42,7 +42,7 @@ object CrawlDriver {
       bloomFpp: Double = 0.01,
       /** hosts whose wave share exceeds this fraction get salted before fetch */
       saltThreshold: Double = 0.25,
-      saltFanout: Int = 8,
+      saltFanout: Int = 64,
       /** below this pending size, skip the salting-decision job entirely —
         * salting only pays off on big waves and never changes output */
       minSaltPending: Long = 2000,
@@ -68,8 +68,9 @@ object CrawlDriver {
                     sizeHint: Long = Long.MaxValue): DataFrame = {
     val cols = order.map(col)
     // small inputs: a single-partition window is cheaper than three stages
-    // and yields the identical (deterministic) numbering
-    if (sizeHint <= 65536) {
+    // and yields the identical (deterministic) numbering; the two-phase
+    // path is for the multi-million-row waves of a real frontier
+    if (sizeHint <= (1L << 20)) {
       return df.withColumn(out,
         row_number().over(Window.orderBy(cols: _*)).cast("long") - 1L)
     }
@@ -180,28 +181,56 @@ object CrawlDriver {
     }
     var bloomB = spark.sparkContext.broadcast(bloom)
 
-    var m = store.currentManifest.get
+    val m = store.currentManifest.get
     var wave = m.summary("wave").toInt + 1
     var nextSeq = m.summary("next_discovery_seq").toLong
     var fetchedTotal = m.summary("fetched_total").toLong
     var wavesRun = 0
 
+    // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
+    // store is the durable/resume copy, written asynchronously off the
+    // critical path): `pendingDF` is the live frontier plan; `seenSlices`
+    // is the seen-set as a union of per-wave cached slices (the base slice
+    // is the store's seen table — on a 10^10-URL frontier that base stays
+    // on disk and only the bloom probe keeps the anti-join cheap; slices
+    // would be re-rooted onto the store periodically on a long crawl).
+    var pendingDF: DataFrame = store.read("pending")
+    var seenSlices: Vector[DataFrame] =
+      Vector(store.read("seen").select($"canonical_url", $"host_hash").cache())
+    // commit of wave k-1 + its bloom delta, in flight while wave k computes
+    var inFlight: scala.concurrent.Future[Option[ShardedBloom]] =
+      scala.concurrent.Future.successful(None)
+    var prevWaveCaches: List[DataFrame] = Nil
+
+    def awaitInFlight(): Unit = {
+      scala.concurrent.Await
+        .result(inFlight, scala.concurrent.duration.Duration.Inf)
+        .foreach { merged =>
+          val old = bloomB
+          bloomB = spark.sparkContext.broadcast(merged)
+          old.destroy()
+        }
+      inFlight = scala.concurrent.Future.successful(None)
+      prevWaveCaches.foreach(_.unpersist())
+      prevWaveCaches = Nil
+    }
+
     var done = false
     var carriedPendingCount: Option[Long] = None
     while (!done) {
-      val pending = store.read("pending").as[FrontierEntry].cache()
+      val pending = pendingDF.as[FrontierEntry]
       // the new pending count is derivable from the previous wave's
       // arithmetic (deferred + admitted) — saves one job per wave
       val pendingCount = carriedPendingCount.getOrElse(pending.count())
       if (pendingCount == 0 || wave > cfg.maxWaves || fetchedTotal >= cfg.maxUrls) {
-        pending.unpersist()
+        awaitInFlight()
         done = true
       } else {
         val waveT0 = System.nanoTime()
         // ---- Q1/Q2: per-host budget selection (one shuffle of pending only)
         val hostWin = Window.partitionBy($"host_hash")
           .orderBy($"priority", $"discovery_time", $"canonical_url")
-        val ranked = pending.toDF().withColumn("__rk", row_number().over(hostWin))
+        val ranked = pending.toDF().withColumn("__rk", row_number().over(hostWin)).cache()
         val selectedRaw = ranked.filter($"__rk" <= budget).drop("__rk")
         val deferred = ranked.filter($"__rk" > budget).drop("__rk").as[FrontierEntry]
 
@@ -212,26 +241,22 @@ object CrawlDriver {
           .withColumn("trace_seq", $"__seq0" + 1L).drop("__seq0")
           .cache()
 
-        // ---- Q3: salt hot hosts before the fetch/parse map (order-free
-        // work). One job yields both the per-host histogram and the wave
-        // size; gated so small waves pay zero extra jobs.
-        val salted =
-          if (pendingCount >= eng.minSaltPending) {
-            val hostHist = selected.groupBy($"host_hash").count().collect()
-              .map(r => r.getLong(0) -> r.getLong(1))
-            val waveSize = hostHist.map(_._2).sum.toDouble
-            val hot = hostHist.filter(_._2 > eng.saltThreshold * waveSize).map(_._1).toSet
-            if (hot.nonEmpty) {
-              val hotB = spark.sparkContext.broadcast(hot)
-              val fan = eng.saltFanout
-              selected.withColumn("__salt",
-                when($"host_hash".isin(hotB.value.toSeq: _*),
-                  pmod(xxhash64($"canonical_url"), lit(fan.toLong)))
-                  .otherwise(lit(0L)))
-                .repartition($"host_hash", $"__salt")
-                .drop("__salt")
-            } else selected
-          } else selected
+        // ---- Q3: salted repartition before the fetch/parse map — parse is
+        // the expensive, order-free stage and must never inherit the
+        // (possibly single-partition) numbering layout. UNIFORM salting:
+        // every host's URLs spread over `saltFanout` salts, so (a) host
+        // count alone cannot under-partition the wave and (b) a hot domain
+        // cannot pin a partition — skew handling without a per-wave
+        // histogram job. (A real fetcher trading connection reuse for
+        // balance would lower the fan; it never changes output — budget
+        // selection above stayed strictly per-host.) 8x partitions keep
+        // parse tasks fine-grained so the stage tail is one small task,
+        // not a third scheduling round of the CPU-heavy parse.
+        val nParts = 8 * math.max(1, spark.sessionState.conf.numShufflePartitions)
+        val salted = selected
+          .withColumn("__salt", pmod(xxhash64($"canonical_url"), lit(eng.saltFanout.toLong)))
+          .repartition(nParts, $"host_hash", $"__salt")
+          .drop("__salt")
 
         // ---- S3 + T1: fetch + parse (typed map over the synthetic web) and
         // per-partition fetch/parse lineage metrics
@@ -251,13 +276,20 @@ object CrawlDriver {
           .toDF("canonical_url", "depth", "trace_seq", "spans", "links", "__pid")
           .cache()
 
-        val wDocs = parsed.select($"canonical_url".as("doc_id"), $"spans").as[Doc]
+        // coalesce: the parse stage runs at 8x-cores granularity for tail
+        // smoothing, but the docs FILES should be one per core, not 8
+        val wDocs = parsed.select($"canonical_url".as("doc_id"), $"spans")
+          .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
+          .as[Doc]
         val wTrace = selected
           .select(lit(wave).as("wave"), $"trace_seq".as("seq"), $"host", $"canonical_url")
           .as[TraceRow]
 
         // ---- outlink candidates with (trace_seq, link_idx) provenance
+        // (coalesced off the fine-grained parse blocks: the dedup chain is
+        // cheap per row — 8x-cores task granularity would be pure overhead)
         val candidates = parsed
+          .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
           .select($"trace_seq", $"depth", posexplode_outer($"links").as(Seq("link_idx", "url")))
           .filter($"url".isNotNull)
           .withColumn("host", udf((u: String) => CanonicalUrl.host(u)).apply($"url"))
@@ -265,6 +297,7 @@ object CrawlDriver {
           .select($"url".as("canonical_url"), $"host", $"host_hash",
             ($"depth" + 1).as("depth"), $"trace_seq", $"link_idx")
 
+        val tFetch0 = System.nanoTime()
         // one job over the cached parse output: per-partition fetch lineage
         // counts AND the candidate-link total (map-side agg, tiny result)
         val fetchStats = parsed.groupBy($"__pid")
@@ -273,6 +306,12 @@ object CrawlDriver {
           .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
         val fetchedThisWave = fetchStats.map(_._2).sum
         val candTotal = fetchStats.map(_._3).sum
+
+        // the previous wave's commit + bloom delta must land before the
+        // bloom probe below (a stale bloom could answer "definitely new"
+        // for a URL admitted last wave — a false negative); the selection
+        // and fetch stages above overlapped with that write.
+        awaitInFlight()
 
         // ---- D1/D2: first-occurrence dedup across the wave (covers in-page):
         // keep the (trace_seq, link_idx)-minimal sighting per canonical_url
@@ -293,7 +332,7 @@ object CrawlDriver {
         val maybeSeen = tagged.filter($"__maybe").drop("__maybe")
 
         // ---- D4: exact anti-join of ONLY the bloom-maybe rows vs seen
-        val seenTbl = store.read("seen").select($"canonical_url")
+        val seenTbl = seenSlices.map(_.select($"canonical_url")).reduce(_ unionByName _)
         val confirmedNew = maybeSeen.join(seenTbl, Seq("canonical_url"), "left_anti")
         val newUrls = definitelyNew.unionByName(confirmedNew)
 
@@ -313,6 +352,8 @@ object CrawlDriver {
           if (matching.isEmpty) true
           else matching.minBy(r => (-r.path_prefix.length, r.rule_order)).allow
         })
+        val tFetchMs = (System.nanoTime() - tFetch0) / 1e6
+        val tDedup0 = System.nanoTime()
         val withRobots = numbered.withColumn("__allowed", allowedUdf($"canonical_url")).cache()
         val admitted = withRobots.filter($"__allowed")
           .select($"canonical_url", $"host", $"host_hash", $"priority", $"discovery_time", $"depth")
@@ -323,7 +364,14 @@ object CrawlDriver {
         val discovered = robotsCounts.values.sum
         val denied = robotsCounts.getOrElse(false, 0L)
 
-        val newSeen = withRobots.select($"canonical_url", $"host_hash").as[SeenRow]
+        val tDedupMs = (System.nanoTime() - tDedup0) / 1e6
+        val tCommit0 = System.nanoTime()
+        // localCheckpoint (lazy) truncates the logical plan — the wave-to-
+        // wave chain would otherwise nest every prior wave's plan and blow
+        // up the optimizer. Materialized by the commit write below; on a
+        // real cluster the durable re-root is the snapshot store itself.
+        val newSeen = withRobots.select($"canonical_url", $"host_hash")
+          .localCheckpoint(false)
 
         // ---- metrics with per-partition lineage from the fetch stage
         val deferredCount = pendingCount - fetchedThisWave
@@ -337,34 +385,18 @@ object CrawlDriver {
           base :+ tail
         }
 
-        // ---- commit wave atomically: pending COW, everything else appended.
-        // The incremental bloom update (executor-side shard aggregation —
-        // bit arrays to the driver, never URL strings) runs CONCURRENTLY
-        // with the data writes; both must finish before the wave ends.
+        // ---- commit the wave: pending COW, everything else appended. The
+        // durable write (and the incremental bloom delta — executor-side
+        // shard aggregation: bit arrays to the driver, never URL strings)
+        // runs ASYNCHRONOUSLY, overlapped with the next wave's selection
+        // and fetch stages; it is awaited before the next bloom probe.
         val newPending = deferred.toDF().unionByName(admitted.toDF())
+          .localCheckpoint(false) // plan truncation, materialized at commit
         nextSeq += discovered
         fetchedTotal += fetchedThisWave
-        val bloomFut: scala.concurrent.Future[Option[ShardedBloom]] =
-          if (eng.useBloom && discovered > 0) {
-            import scala.concurrent.ExecutionContext.Implicits.global
-            scala.concurrent.Future {
-              val agg = udaf(new BloomBuildAggregator(
-                bloom.shards(0).bits.length, bloom.shards(0).numHashes))
-              val nsh = eng.bloomShards
-              val shardRows = newSeen.toDF()
-                .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
-                .groupBy($"__shard").agg(agg($"canonical_url").as("bits"))
-                .collect()
-              val merged = bloomB.value.copyOf()
-              shardRows.foreach(r =>
-                merged.mergeShardBytes(r.getInt(0), r.getAs[Array[Byte]]("bits")))
-              Some(merged)
-            }
-          } else scala.concurrent.Future.successful(None)
-
-        store.beginCommit()
+        val commitBuilder = store.beginCommit()
           .replace("pending", newPending)
-          .append("seen", newSeen.toDF())
+          .append("seen", newSeen)
           .append("trace", wTrace.toDF())
           .append("docs", wDocs.toDF())
           .append("metrics", metricsRows.toDF())
@@ -375,32 +407,49 @@ object CrawlDriver {
             "wave_fetched" -> fetchedThisWave.toString,
             "wave_discovered" -> discovered.toString,
             "wave_denied" -> denied.toString)
-          .commit()
-        // swap the broadcast only after all wave jobs (commit writes) are
-        // done — destroying earlier races plans that still reference it
-        scala.concurrent.Await
-          .result(bloomFut, scala.concurrent.duration.Duration.Inf)
-          .foreach { merged =>
-            val old = bloomB
-            bloomB = spark.sparkContext.broadcast(merged)
-            old.destroy()
+        val doBloom = eng.useBloom && discovered > 0
+        val bloomBNow = bloomB
+        val bloomBytes = bloom.shards(0).bits.length
+        val bloomHashes = bloom.shards(0).numHashes
+        val nsh = eng.bloomShards
+        inFlight = {
+          import scala.concurrent.ExecutionContext.Implicits.global
+          scala.concurrent.Future {
+            val bloomSubFut =
+              if (doBloom) scala.concurrent.Future {
+                val agg = udaf(new BloomBuildAggregator(bloomBytes, bloomHashes))
+                val shardRows = newSeen
+                  .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
+                  .groupBy($"__shard").agg(agg($"canonical_url").as("bits"))
+                  .collect()
+                val merged = bloomBNow.value.copyOf()
+                shardRows.foreach(r =>
+                  merged.mergeShardBytes(r.getInt(0), r.getAs[Array[Byte]]("bits")))
+                Some(merged)
+              } else scala.concurrent.Future.successful(Option.empty[ShardedBloom])
+            commitBuilder.commit()
+            scala.concurrent.Await.result(bloomSubFut,
+              scala.concurrent.duration.Duration.Inf)
           }
+        }
         carriedPendingCount = Some(deferredCount + (discovered - denied))
-
-        pending.unpersist()
-        selected.unpersist()
-        parsed.unpersist()
-        tagged.unpersist()
-        withRobots.unpersist()
+        seenSlices :+= newSeen
+        pendingDF = newPending
+        prevWaveCaches = List(ranked.toDF(), selected, parsed, tagged, withRobots)
         if (eng.verbose) {
           val ms = (System.nanoTime() - waveT0) / 1e6
+          val commitMs = (System.nanoTime() - tCommit0) / 1e6
           println(f"[engine] wave=$wave fetched=$fetchedThisWave discovered=$discovered " +
-            f"denied=$denied deferred=$deferredCount ms=$ms%.0f")
+            f"denied=$denied deferred=$deferredCount ms=$ms%.0f " +
+            f"(fetch=$tFetchMs%.0f dedup=$tDedupMs%.0f commit-launch=$commitMs%.0f)")
         }
         wave += 1
         wavesRun += 1
       }
     }
+    // long-crawl hygiene: drop the in-memory seen slices (state re-roots
+    // from the store on resume)
+    seenSlices.foreach(_.unpersist())
     RunHandle(store, wavesRun, fetchedTotal)
   }
 

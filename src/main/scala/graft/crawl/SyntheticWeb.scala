@@ -23,9 +23,28 @@ import graft.functions.CanonicalUrl
 object SyntheticWeb {
 
   /** hosts: number of distinct hosts host{0..H-1}.test; pagesPerHost: size
-    * of the /p/{k} page space per host; hotHost: index of the skewed host.
+    * of the /p/{k} page space per host; hotHost: index of the skewed host;
+    * parseWorkIters: deterministic extra CPU per page simulating the
+    * fetch+parse cost a real crawler pays (HTML parse / decompress — the
+    * synthetic span generator alone is unrealistically cheap). Zero for
+    * correctness tests; nonzero only in throughput benchmarks. Never
+    * changes any output.
     */
-  case class WebConfig(hosts: Int = 8, pagesPerHost: Int = 50, hotHost: Int = 0)
+  case class WebConfig(hosts: Int = 8, pagesPerHost: Int = 50, hotHost: Int = 0,
+                       parseWorkIters: Long = 0L)
+
+  /** Fixed-work CPU spin (data-dependent mix chain the JIT cannot elide;
+    * ~1 ns/iter). Returns a value the caller must consume.
+    */
+  def spinWork(seed: Long, iters: Long): Long = {
+    var x = seed | 1L
+    var i = 0L
+    while (i < iters) {
+      x = java.lang.Long.rotateLeft(x * 0x9E3779B185EBCA87L, 31) ^ (x >>> 17)
+      i += 1
+    }
+    x
+  }
 
   private val wordPool: IndexedSeq[String] = Vector(
     "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
@@ -58,6 +77,8 @@ object SyntheticWeb {
     * outlink strings in document order (duplicates included).
     */
   def fetchParse(url: String, cfg: WebConfig): (IndexedSeq[Span], IndexedSeq[String]) = {
+    if (cfg.parseWorkIters > 0 && spinWork(h(url), cfg.parseWorkIters) == 42L)
+      throw new IllegalStateException("unreachable") // consume the spin value
     val nSpans = 2 + fm(h(url + "|page"), 7) // 2..8
     val spans = (0 until nSpans).map { i =>
       val hi = h(url + "|span|" + i)
