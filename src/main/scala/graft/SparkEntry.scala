@@ -35,7 +35,8 @@ object SparkEntry {
   private def toks(c: Column) = TextOps.tokens(c)
   private def sh3(ts: Column, text: Column) = TextOps.shingles(ts, text, 3)
 
-  private val canonUdf = udf((s: String) => CanonicalUrl.canonicalize(s))
+  private def canonCol(c: org.apache.spark.sql.Column) =
+    graft.functions.CanonicalizeUrl.canonicalize_url(c) // native Catalyst Expression
 
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
@@ -258,10 +259,18 @@ object SparkEntry {
         (lit(64) + pmod(octet_length(col("payload")).cast("long") * 7, lit(448L))).as("height"),
         (lit(1) + pmod(octet_length(col("payload")).cast("long"), lit(15L))).as("n_frames"))
     }),
+    // ---- distinct counts (A4): exact distinct for the oracle; the engine
+    // uses approx_count_distinct for its own metrics
+    "q_distinct_count" -> ((s, dir) => {
+      T(s, dir, "lineitem").agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
     // ---- URL canonicalization (P1) — oracle constructs the expected form
     "q_url_canonicalize" -> ((s, dir) => {
       T(s, dir, "documents").select(col("doc_id"),
-        canonUdf(concat(lit("HTTP://HOST"), pmod(col("doc_id"), lit(20)).cast("string"),
+        canonCol(concat(lit("HTTP://HOST"), pmod(col("doc_id"), lit(20)).cast("string"),
           lit(".TEST:80/a/../p/"), col("doc_id").cast("string"), lit("#frag")))
           .as("canonical_url"))
     })
@@ -412,6 +421,10 @@ object SparkEntry {
         | 64 + (strlen(text)::BIGINT * 7) % 448 AS height,
         | 1 + strlen(text)::BIGINT % 15 AS n_frames
         |FROM documents""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
     "q_url_canonicalize" ->
       """SELECT doc_id, 'http://host' || (doc_id % 20) || '.test/p/' || doc_id
         |  AS canonical_url

@@ -1,7 +1,7 @@
 package graft.crawl
 
 import graft.functions.CanonicalUrl
-import graft.operators.{BloomBuildAggregator, ShardedBloom}
+import graft.operators._
 import graft.sources.SnapshotStore
 import graft.util.XxHash64
 
@@ -35,18 +35,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object CrawlDriver {
 
-  /** Engine knobs independent of crawl semantics (must not change output). */
+  /** Engine knobs independent of crawl semantics (must not change output).
+    * seenFilter: "bloom" (default), "cuckoo" (deletion-safe variant — same
+    * no-false-negative pre-filter contract, supports expiry for recrawl),
+    * or "none" (every candidate goes through the exact anti-join).
+    */
   case class EngineConfig(
       bloomShards: Int = 16,
       bloomItemsPerShard: Long = 1L << 16,
       bloomFpp: Double = 0.01,
-      /** hosts whose wave share exceeds this fraction get salted before fetch */
-      saltThreshold: Double = 0.25,
+      /** salt fan applied to every host before the parse stage */
       saltFanout: Int = 64,
-      /** below this pending size, skip the salting-decision job entirely —
-        * salting only pays off on big waves and never changes output */
-      minSaltPending: Long = 2000,
-      useBloom: Boolean = true,
+      seenFilter: String = "bloom",
       verbose: Boolean = false)
 
   case class RunHandle(store: SnapshotStore, wavesRun: Int, fetchedTotal: Long)
@@ -165,21 +165,48 @@ object CrawlDriver {
     val webCfg = cfg.web
     val budget = cfg.budgetPerHost
 
-    // rebuild the broadcast bloom from the CURRENT seen-set (resume-safe):
-    // executor-side per-shard aggregation, tiny shard rows to driver, merge.
-    val bloom: ShardedBloom =
-      ShardedBloom.sized(eng.bloomShards, eng.bloomItemsPerShard, eng.bloomFpp)
-    if (eng.useBloom) {
-      val agg = udaf(new BloomBuildAggregator(
-        bloom.shards(0).bits.length, bloom.shards(0).numHashes))
-      val nsh = eng.bloomShards
-      val shardRows = store.read("seen")
-        .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
-        .groupBy($"__shard").agg(agg($"canonical_url").as("bits"))
-        .collect()
-      shardRows.foreach(r => bloom.mergeShardBytes(r.getInt(0), r.getAs[Array[Byte]]("bits")))
+    // Seen-filter plumbing, shared by bloom and cuckoo: the shard build is
+    // an executor-side Aggregator grouped by host-hash shard — only S tiny
+    // serialized shards ever reach the driver, never the URL strings.
+    val nsh = eng.bloomShards
+    def buildShardAgg(): org.apache.spark.sql.Column = eng.seenFilter match {
+      case "bloom" =>
+        val proto = BloomShard.sized(eng.bloomItemsPerShard, eng.bloomFpp)
+        udaf(new BloomBuildAggregator(proto.bits.length, proto.numHashes))
+          .apply($"canonical_url")
+      case "cuckoo" =>
+        val proto = CuckooFilter.sized(eng.bloomItemsPerShard)
+        udaf(new CuckooBuildAggregator(proto.numBucketsPow2)).apply($"canonical_url")
+      case other => throw new IllegalArgumentException(s"no shard agg for '$other'")
     }
-    var bloomB = spark.sparkContext.broadcast(bloom)
+    def emptyFilter(): ShardedSeenFilter = eng.seenFilter match {
+      case "bloom"  => ShardedBloom.sized(nsh, eng.bloomItemsPerShard, eng.bloomFpp)
+      case "cuckoo" => ShardedCuckoo.sized(nsh, eng.bloomItemsPerShard)
+      case _        => AlwaysMaybe
+    }
+    def mergeShards(base: ShardedSeenFilter,
+                    rows: Array[org.apache.spark.sql.Row]): ShardedSeenFilter = base match {
+      case b: ShardedBloom =>
+        val c = b.copyOf()
+        rows.foreach(r => c.mergeShardBytes(r.getInt(0), r.getAs[Array[Byte]]("bits")))
+        c
+      case ck: ShardedCuckoo =>
+        val c = ck.copyOf()
+        rows.foreach(r => c.mergeShardBytes(r.getInt(0), r.getAs[Array[Byte]]("bits")))
+        c
+      case other => other
+    }
+    val useFilter = eng.seenFilter != "none"
+    val filter0: ShardedSeenFilter =
+      if (!useFilter) AlwaysMaybe
+      else {
+        val rows = store.read("seen")
+          .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
+          .groupBy($"__shard").agg(buildShardAgg().as("bits"))
+          .collect()
+        mergeShards(emptyFilter(), rows)
+      }
+    var bloomB = spark.sparkContext.broadcast(filter0)
 
     val m = store.currentManifest.get
     var wave = m.summary("wave").toInt + 1
@@ -198,7 +225,7 @@ object CrawlDriver {
     var seenSlices: Vector[DataFrame] =
       Vector(store.read("seen").select($"canonical_url", $"host_hash").cache())
     // commit of wave k-1 + its bloom delta, in flight while wave k computes
-    var inFlight: scala.concurrent.Future[Option[ShardedBloom]] =
+    var inFlight: scala.concurrent.Future[Option[ShardedSeenFilter]] =
       scala.concurrent.Future.successful(None)
     var prevWaveCaches: List[DataFrame] = Nil
 
@@ -325,7 +352,7 @@ object CrawlDriver {
         val bloomLocal = bloomB
         val mightBeSeen = udf((url: String, hh: Long) => bloomLocal.value.mightContain(url, hh))
         val tagged =
-          if (eng.useBloom)
+          if (useFilter)
             firstSeen.withColumn("__maybe", mightBeSeen($"canonical_url", $"host_hash")).cache()
           else firstSeen.withColumn("__maybe", lit(true)).cache()
         val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe")
@@ -407,28 +434,21 @@ object CrawlDriver {
             "wave_fetched" -> fetchedThisWave.toString,
             "wave_discovered" -> discovered.toString,
             "wave_denied" -> denied.toString)
-        val doBloom = eng.useBloom && discovered > 0
-        val bloomBNow = bloomB
-        val bloomBytes = bloom.shards(0).bits.length
-        val bloomHashes = bloom.shards(0).numHashes
-        val nsh = eng.bloomShards
+        val doDelta = useFilter && discovered > 0
+        val filterNow = bloomB
         inFlight = {
           import scala.concurrent.ExecutionContext.Implicits.global
           scala.concurrent.Future {
-            val bloomSubFut =
-              if (doBloom) scala.concurrent.Future {
-                val agg = udaf(new BloomBuildAggregator(bloomBytes, bloomHashes))
+            val deltaFut =
+              if (doDelta) scala.concurrent.Future {
                 val shardRows = newSeen
                   .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
-                  .groupBy($"__shard").agg(agg($"canonical_url").as("bits"))
+                  .groupBy($"__shard").agg(buildShardAgg().as("bits"))
                   .collect()
-                val merged = bloomBNow.value.copyOf()
-                shardRows.foreach(r =>
-                  merged.mergeShardBytes(r.getInt(0), r.getAs[Array[Byte]]("bits")))
-                Some(merged)
-              } else scala.concurrent.Future.successful(Option.empty[ShardedBloom])
+                Some(mergeShards(filterNow.value, shardRows))
+              } else scala.concurrent.Future.successful(Option.empty[ShardedSeenFilter])
             commitBuilder.commit()
-            scala.concurrent.Await.result(bloomSubFut,
+            scala.concurrent.Await.result(deltaFut,
               scala.concurrent.duration.Duration.Inf)
           }
         }

@@ -23,7 +23,7 @@ import java.nio.charset.StandardCharsets
   * deleted). Deletes must only be issued for inserted items (standard
   * cuckoo-filter caveat).
   */
-final class CuckooFilter(numBucketsPow2: Int, maxKicks: Int = 500)
+final class CuckooFilter(val numBucketsPow2: Int, maxKicks: Int = 500)
     extends UrlSeenFilter {
   require((numBucketsPow2 & (numBucketsPow2 - 1)) == 0 && numBucketsPow2 > 0,
     "numBuckets must be a power of two")
@@ -85,7 +85,15 @@ final class CuckooFilter(numBucketsPow2: Int, maxKicks: Int = 500)
     */
   def insert(s: String): Boolean = {
     val fp = fingerprint(s)
-    val i1 = bucket1(s)
+    insertFp(bucket1(s), fp)
+  }
+
+  /** Insert a raw (bucket, fingerprint) pair — the partial-key property
+    * makes this sufficient to MERGE two filters (a stored pair fully
+    * determines both candidate buckets), which is what the distributed
+    * Aggregator build path uses.
+    */
+  def insertFp(i1: Int, fp: Short): Boolean = {
     val i2 = altBucket(i1, fp)
     if (tryInsertAt(i1, fp) || tryInsertAt(i2, fp)) { count += 1; return true }
     // deterministic eviction chain
@@ -104,6 +112,19 @@ final class CuckooFilter(numBucketsPow2: Int, maxKicks: Int = 500)
     stash += ((b, f))
     count += 1
     stash.size <= 64
+  }
+
+  /** Merge another filter of the SAME geometry into this one. */
+  def mergeFrom(o: CuckooFilter): CuckooFilter = {
+    require(o.numBucketsPow2 == numBucketsPow2, "incompatible cuckoo geometry")
+    var i = 0
+    while (i < o.table.length) {
+      val fp = o.table(i)
+      if (fp != 0) insertFp(i / SlotsPerBucket, fp)
+      i += 1
+    }
+    o.stash.foreach { case (b, fp) => insertFp(b, fp) }
+    this
   }
 
   override def mightContain(s: String): Boolean = {
@@ -178,4 +199,60 @@ object CuckooFilter {
       f.count = c + f.stash.size
     }
   }
+}
+
+/** Probe-side abstraction shared by the bloom and cuckoo seen-filters:
+  * `false` = definitely not seen (no false negatives for live items).
+  */
+trait ShardedSeenFilter extends Serializable {
+  def mightContain(url: String, hostHash: Long): Boolean
+}
+
+/** Two-level host-hash–sharded cuckoo filter — the deletion-safe seen-set
+  * variant (recrawl/expiry: a bloom cannot forget; a cuckoo can). Same
+  * shard/broadcast harness as [[ShardedBloom]].
+  */
+final class ShardedCuckoo(val shards: Array[CuckooFilter]) extends ShardedSeenFilter {
+  def numShards: Int = shards.length
+  def shardOf(hostHash: Long): Int =
+    java.lang.Math.floorMod(hostHash, numShards.toLong).toInt
+  override def mightContain(url: String, hostHash: Long): Boolean =
+    shards(shardOf(hostHash)).mightContain(url)
+  def insert(url: String, hostHash: Long): Unit = shards(shardOf(hostHash)).insert(url)
+  /** Deletion-safe expiry — only for URLs actually inserted. */
+  def delete(url: String, hostHash: Long): Boolean = shards(shardOf(hostHash)).delete(url)
+  def mergeShardBytes(shardIdx: Int, bytes: Array[Byte]): Unit =
+    shards(shardIdx).mergeFrom(CuckooFilter.deserialize(bytes))
+  def copyOf(): ShardedCuckoo =
+    new ShardedCuckoo(shards.map(s => CuckooFilter.deserialize(s.serialize())))
+}
+
+object ShardedCuckoo {
+  def sized(numShards: Int, expectedItemsPerShard: Long): ShardedCuckoo =
+    new ShardedCuckoo(Array.fill(numShards)(CuckooFilter.sized(expectedItemsPerShard)))
+}
+
+/** Spark Aggregator building one cuckoo shard from a column of URLs:
+  * object buffer during partial aggregation (TypedImperativeAggregate
+  * under `udaf`), serialized only across the shuffle; merge is
+  * fingerprint-level reinsertion (partial-key property).
+  */
+final class CuckooBuildAggregator(numBucketsPow2: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[String, CuckooFilter, Array[Byte]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  override def zero: CuckooFilter = new CuckooFilter(numBucketsPow2)
+  override def reduce(buf: CuckooFilter, url: String): CuckooFilter = {
+    buf.insert(url); buf
+  }
+  override def merge(a: CuckooFilter, b: CuckooFilter): CuckooFilter = a.mergeFrom(b)
+  override def finish(r: CuckooFilter): Array[Byte] = r.serialize()
+  override def bufferEncoder: Encoder[CuckooFilter] = Encoders.kryo[CuckooFilter]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Degenerate filter: answers "maybe" for everything, so every candidate
+  * takes the exact anti-join path (seenFilter = "none").
+  */
+object AlwaysMaybe extends ShardedSeenFilter {
+  override def mightContain(url: String, hostHash: Long): Boolean = true
 }

@@ -79,14 +79,27 @@ object Similarity {
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int,
               nTables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
     val dim = 64
-    val bucketCols = (0 until nTables).map { t =>
-      concat(lit(s"$t|"),
-        lshBucket(col("embedding"), hyperplanes(t, bitsPerTable, dim))).as(s"__b$t")
+    // bucket keys via a closure over the precomputed plane matrix — as
+    // Column expressions this is nTables*bits*dim literal nodes, which
+    // bloats analysis/codegen far beyond the work itself
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables)(t => hyperplanes(t, bitsPerTable, dim))
+    val bucketsUdf = udf { (e: Seq[Float]) =>
+      val v = e.toArray
+      (0 until nTables).map { t =>
+        val sb = new StringBuilder(s"$t|")
+        planes(t).foreach { p =>
+          var s = 0.0
+          var j = 0
+          while (j < v.length && j < p.length) { s += v(j) * p(j); j += 1 }
+          sb.append(if (s >= 0) '1' else '0')
+        }
+        sb.toString
+      }
     }
     val exploded = emb
-      .select((col("vec_id") +: col("embedding").as("embedding") +: bucketCols): _*)
       .select(col("vec_id"), col("embedding"),
-        explode(array((0 until nTables).map(t => col(s"__b$t")): _*)).as("bucket"))
+        explode(bucketsUdf(col("embedding"))).as("bucket"))
     val queries = exploded.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
     val candPairs = exploded

@@ -100,12 +100,12 @@ object BloomShard {
   * shards loaded lazily per task from the snapshot store instead of one
   * whole-set broadcast.
   */
-final class ShardedBloom(val shards: Array[BloomShard]) extends Serializable {
+final class ShardedBloom(val shards: Array[BloomShard]) extends ShardedSeenFilter {
   def numShards: Int = shards.length
 
   def shardOf(hostHash: Long): Int = java.lang.Math.floorMod(hostHash, numShards.toLong).toInt
 
-  def mightContain(url: String, hostHash: Long): Boolean =
+  override def mightContain(url: String, hostHash: Long): Boolean =
     shards(shardOf(hostHash)).mightContain(url)
 
   def insert(url: String, hostHash: Long): Unit =

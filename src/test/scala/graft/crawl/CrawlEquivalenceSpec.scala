@@ -71,10 +71,12 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     val cfg = mkCfg(nSeeds = 16, budget = 2, hosts = 4, pages = 20)
     val (oracleRes, _) = new RefCrawler(cfg).run()
     val engines = Seq(
-      CrawlDriver.EngineConfig(useBloom = false),
-      CrawlDriver.EngineConfig(useBloom = true),
+      CrawlDriver.EngineConfig(seenFilter = "none"),
+      CrawlDriver.EngineConfig(seenFilter = "bloom"),
+      CrawlDriver.EngineConfig(seenFilter = "cuckoo"),
+      CrawlDriver.EngineConfig(seenFilter = "cuckoo", bloomShards = 2, bloomItemsPerShard = 16),
       // 2 shards x 16 bytes: FP-saturated — exactness must not depend on FP rate
-      CrawlDriver.EngineConfig(useBloom = true, bloomShards = 2,
+      CrawlDriver.EngineConfig(seenFilter = "bloom", bloomShards = 2,
         bloomItemsPerShard = 4, bloomFpp = 0.5))
     engines.foreach { eng =>
       val root = tmp()
