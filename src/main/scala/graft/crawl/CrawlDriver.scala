@@ -47,6 +47,12 @@ object CrawlDriver {
       /** salt fan applied to every host before the parse stage */
       saltFanout: Int = 64,
       seenFilter: String = "bloom",
+      /** "cached": seen-set anti-joins run against in-memory slices (right
+        * at sandbox scale). "store": every wave scans the snapshot store's
+        * shard-clustered seen files with a shard IN-filter pushed to
+        * parquet — the 10^10-scale path where seen cannot be cached and
+        * the scan must prune to the shards the bloom-maybe rows touch. */
+      seenStorage: String = "cached",
       verbose: Boolean = false)
 
   case class RunHandle(store: SnapshotStore, wavesRun: Int, fetchedTotal: Long)
@@ -129,11 +135,14 @@ object CrawlDriver {
 
     val pending0 = seedDf.filter($"allowed").drop("allowed")
       .as[FrontierEntry]
-    val seen0 = seedDf.select($"canonical_url", $"host_hash").as[SeenRow]
+    // seen rows carry their filter-shard and are clustered by it on disk,
+    // so a shard IN-filter prunes parquet row groups (store-mode dedup)
+    val seen0 = seedDf.select($"canonical_url", $"host_hash")
+      .withColumn("shard", pmod($"host_hash", lit(eng.bloomShards.toLong)).cast("int"))
 
     store.beginCommit()
       .replace("pending", pending0.toDF())
-      .append("seen", seen0.toDF())
+      .append("seen", seen0.repartition(col("shard")).sortWithinPartitions("shard"))
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
       .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
@@ -358,8 +367,21 @@ object CrawlDriver {
         val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe")
         val maybeSeen = tagged.filter($"__maybe").drop("__maybe")
 
-        // ---- D4: exact anti-join of ONLY the bloom-maybe rows vs seen
-        val seenTbl = seenSlices.map(_.select($"canonical_url")).reduce(_ unionByName _)
+        // ---- D4: exact anti-join of ONLY the bloom-maybe rows vs seen.
+        // cached mode: in-memory slices. store mode (the 10^10-scale path):
+        // scan the shard-clustered seen parquet, pruned by the shards the
+        // maybe-rows actually touch (pushed to the parquet reader).
+        val seenTbl =
+          if (eng.seenStorage == "store") {
+            val activeShards = maybeSeen
+              .select(pmod($"host_hash", lit(nsh.toLong)).cast("int").as("s"))
+              .distinct().as[Int].collect()
+            val base = store.read("seen")
+            val pruned =
+              if (activeShards.length < nsh) base.filter($"shard".isin(activeShards.map(Integer.valueOf): _*))
+              else base
+            pruned.select($"canonical_url")
+          } else seenSlices.map(_.select($"canonical_url")).reduce(_ unionByName _)
         val confirmedNew = maybeSeen.join(seenTbl, Seq("canonical_url"), "left_anti")
         val newUrls = definitelyNew.unionByName(confirmedNew)
 
@@ -398,6 +420,7 @@ object CrawlDriver {
         // up the optimizer. Materialized by the commit write below; on a
         // real cluster the durable re-root is the snapshot store itself.
         val newSeen = withRobots.select($"canonical_url", $"host_hash")
+          .withColumn("shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
           .localCheckpoint(false)
 
         // ---- metrics with per-partition lineage from the fetch stage
@@ -423,7 +446,7 @@ object CrawlDriver {
         fetchedTotal += fetchedThisWave
         val commitBuilder = store.beginCommit()
           .replace("pending", newPending)
-          .append("seen", newSeen)
+          .append("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
           .append("trace", wTrace.toDF())
           .append("docs", wDocs.toDF())
           .append("metrics", metricsRows.toDF())
@@ -471,6 +494,37 @@ object CrawlDriver {
     // from the store on resume)
     seenSlices.foreach(_.unpersist())
     RunHandle(store, wavesRun, fetchedTotal)
+  }
+
+  /** Expire URLs — the deletion-safe-dedup flow the cuckoo variant exists
+    * for: FORGET the URLs (remove from the seen-set, and from pending to
+    * keep the pending ⊆ seen invariant). The next time any fetched page
+    * links to them they are admitted and fetched again. Committed as one
+    * atomic snapshot; a subsequent [[resume]] rebuilds the (bloom or
+    * cuckoo) filter from the post-delete seen-set. At 10^10 scale the seen
+    * rewrite becomes merge-on-read delete files (the manifest layout
+    * already carries per-version dir lists), and an in-flight long crawl
+    * deletes from the broadcast ShardedCuckoo directly — the operation a
+    * bloom filter cannot support.
+    */
+  def expire(spark: SparkSession, storeRoot: String, urls: Seq[String]): Long = {
+    import spark.implicits._
+    val store = new SnapshotStore(storeRoot, spark)
+    val m = store.currentManifest.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $storeRoot"))
+    val targets = urls.map(CanonicalUrl.canonicalize).distinct
+    val nBefore = store.read("seen").count()
+    val newSeen = store.read("seen").filter(!$"canonical_url".isin(targets: _*))
+    // maintain the pending ⊆ seen invariant: a forgotten URL must not keep
+    // a pending entry, or its rediscovery would double-admit it
+    val newPending = store.read("pending").filter(!$"canonical_url".isin(targets: _*))
+    store.beginCommit()
+      .replace("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
+      .replace("pending", newPending)
+      .summary(m.summary.toSeq: _*)
+      .summary("expired" -> targets.size.toString)
+      .commit()
+    nBefore - store.read("seen").count()
   }
 
   /** Load final results from a store for comparison with the oracle. */

@@ -92,6 +92,22 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
 
   def beginCommit(): Commit = new Commit()
 
+  /** Compact an append-accumulated table: rewrite its current content as a
+    * single data dir in a new snapshot version (Iceberg's rewrite-data-
+    * files action). Older versions still read the original files
+    * (time-travel unaffected); new reads touch one dir.
+    */
+  def compact(table: String): Long = {
+    val current = read(table)
+    val cur = currentManifest.get
+    val passthrough = cur.summary.map { case (k, v) => k -> v }.toSeq
+    beginCommit()
+      .replace(table, current)
+      .summary(passthrough: _*)
+      .summary("compacted" -> table)
+      .commit()
+  }
+
   /** Normalize a schema for storage: nullability is a property of the data
     * in a given write, not of the logical table — appends from differently
     * derived plans must unify.

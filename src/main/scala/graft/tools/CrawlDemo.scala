@@ -45,6 +45,21 @@ object CrawlDemo {
     val ok = er.trace == res.trace && er.seen == res.seen &&
       er.docs.map(d => (d.doc_id, d.spans)) == res.docs.map(d => (d.doc_id, d.spans))
     println(s"[engine] oracle-equal=$ok store=$root")
+
+    // snapshot maintenance demo: compact the append-accumulated seen table
+    val store = new graft.sources.SnapshotStore(root, spark)
+    val dirsBefore = store.currentManifest.get.tables("seen").dataDirs.size
+    store.compact("seen")
+    val dirsAfter = store.currentManifest.get.tables("seen").dataDirs.size
+    println(s"[engine] compact(seen): dataDirs $dirsBefore -> $dirsAfter " +
+      s"rows=${store.read("seen").count()}")
+
+    // expiry (deletion-safe dedup) demo: forget one fetched URL
+    val victim = er.trace.head.canonical_url
+    val removed = CrawlDriver.expire(spark, root, Seq(victim))
+    println(s"[engine] expire($victim): removed=$removed " +
+      s"stillSeen=${store.read("seen").where(s"canonical_url = '$victim'").count()}")
+
     spark.stop()
     if (!ok) sys.exit(1)
   }

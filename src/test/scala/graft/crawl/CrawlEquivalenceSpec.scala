@@ -77,12 +77,26 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
       CrawlDriver.EngineConfig(seenFilter = "cuckoo", bloomShards = 2, bloomItemsPerShard = 16),
       // 2 shards x 16 bytes: FP-saturated — exactness must not depend on FP rate
       CrawlDriver.EngineConfig(seenFilter = "bloom", bloomShards = 2,
-        bloomItemsPerShard = 4, bloomFpp = 0.5))
+        bloomItemsPerShard = 4, bloomFpp = 0.5),
+      // 10^10-scale path: anti-join scans shard-clustered seen parquet
+      CrawlDriver.EngineConfig(seenStorage = "store"))
     engines.foreach { eng =>
       val root = tmp()
       CrawlDriver.run(spark, cfg, root, eng)
       assertEqualResults(oracleRes, CrawlDriver.result(spark, root))
     }
+  }
+
+  test("store-mode seen: shard IN-filter is pushed to the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val cfg = mkCfg(nSeeds = 16, budget = 2, hosts = 4, pages = 20)
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root, CrawlDriver.EngineConfig(seenStorage = "store"))
+    val store = new graft.sources.SnapshotStore(root, spark)
+    val plan = store.read("seen").filter(col("shard").isin(1, 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(shard"),
+      s"shard filter not pushed to seen scan:\n$plan")
   }
 
   test("resume from mid-crawl checkpoint equals uninterrupted run") {

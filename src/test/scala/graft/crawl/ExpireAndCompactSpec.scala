@@ -1,0 +1,74 @@
+package graft.crawl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CanonicalUrl
+import graft.sources.SnapshotStore
+import java.nio.file.Files
+
+/** Expiry/recrawl (deletion-safe dedup) and snapshot compaction. */
+class ExpireAndCompactSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def cfg(maxWaves: Int = 1000) = {
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    CrawlConfig(SyntheticWeb.seedUrls(24, web), budgetPerHost = 2,
+      maxWaves = maxWaves, web = web, robots = SyntheticWeb.robotsFixture(web))
+  }
+
+  test("expired URL is rediscovered and refetched exactly once more") {
+    val full = cfg()
+    val (oracleRes, _) = new RefCrawler(full).run()
+    // find a URL fetched early that a LATER page links to (deterministic web)
+    val fetchWave = oracleRes.trace.map(t => t.canonical_url -> t.wave).toMap
+    val candidate = oracleRes.trace.iterator.flatMap { t =>
+      if (t.wave < 3) Iterator.empty
+      else SyntheticWeb.fetchParse(t.canonical_url, full.web)._2.iterator
+        .map(raw => CanonicalUrl.resolve(t.canonical_url, raw))
+        .filter(u => fetchWave.get(u).exists(w => w <= 2 && w < t.wave))
+        .map(u => (u, t.wave))
+    }.toSeq.headOption
+    assert(candidate.isDefined, "fixture produced no early-fetched, later-linked URL")
+    val (victim, linkerWave) = candidate.get
+
+    // crawl up to just before the linker's wave, expire the victim, resume
+    val root = Files.createTempDirectory("expire").toString
+    CrawlDriver.run(spark, full.copy(maxWaves = linkerWave - 1), root)
+    val before = CrawlDriver.result(spark, root)
+    assert(before.trace.exists(_.canonical_url == victim), "victim not yet fetched")
+    val removed = CrawlDriver.expire(spark, root, Seq(victim))
+    assert(removed === 1L)
+    val store = new SnapshotStore(root, spark)
+    import spark.implicits._
+    assert(store.read("seen").filter($"canonical_url" === victim).count() === 0)
+
+    CrawlDriver.resume(spark, full, root)
+    val after = CrawlDriver.result(spark, root)
+    val fetches = after.trace.count(_.canonical_url == victim)
+    assert(fetches === 2, s"victim fetched $fetches times, expected 2 (original + recrawl)")
+    assert(after.seen.contains(victim), "victim must re-enter the seen-set")
+    assert(after.docs.count(_.doc_id == victim) === 2)
+    // everything NOT expired is still fetched at most once
+    val others = after.trace.filterNot(_.canonical_url == victim).map(_.canonical_url)
+    assert(others.distinct.size === others.size)
+  }
+
+  test("compaction shrinks seen to one data dir; time-travel unaffected") {
+    val root = Files.createTempDirectory("compact").toString
+    CrawlDriver.run(spark, cfg(), root)
+    val store = new SnapshotStore(root, spark)
+    val vBefore = store.currentVersion.get
+    val dirsBefore = store.currentManifest.get.tables("seen").dataDirs.size
+    assert(dirsBefore > 2, "expected accumulated seen dirs")
+    val rowsBefore = store.read("seen").collect().map(_.getString(0)).sorted.toSeq
+
+    store.compact("seen")
+    assert(store.currentManifest.get.tables("seen").dataDirs.size === 1)
+    val rowsAfter = store.read("seen").collect().map(_.getString(0)).sorted.toSeq
+    assert(rowsAfter === rowsBefore, "compaction changed data")
+    // time travel to the pre-compaction version still reads the old layout
+    assert(store.read("seen", Some(vBefore)).count() === rowsBefore.size.toLong)
+    // resume-critical summary keys survived the compaction commit
+    val s = store.currentManifest.get.summary
+    assert(s.contains("wave") && s.contains("next_discovery_seq") && s.contains("fetched_total"))
+  }
+}
