@@ -259,6 +259,21 @@ object SparkEntry {
         (lit(64) + pmod(octet_length(col("payload")).cast("long") * 7, lit(448L))).as("height"),
         (lit(1) + pmod(octet_length(col("payload")).cast("long"), lit(15L))).as("n_frames"))
     }),
+    // ---- BPE-ish regex token counting (byte-pair-style piece pattern)
+    "q_token_bpe" -> ((s, dir) => {
+      val pieces = regexp_extract_all(lower(col("text")),
+        lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"), lit(0))
+      T(s, dir, "documents").select(col("doc_id"),
+        size(pieces).cast("long").as("n_pieces"),
+        size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"))
+    }),
+    // ---- winnowing fingerprints over a Karp-Rabin rolling hash (native
+    // Catalyst expression; near-dup primitive)
+    "q_winnow_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.RollingFingerprint.rolling_fingerprint(col("text")))
+          .as("fp"))
+    }),
     // ---- distinct counts (A4): exact distinct for the oracle; the engine
     // uses approx_count_distinct for its own metrics
     "q_distinct_count" -> ((s, dir) => {
@@ -421,6 +436,27 @@ object SparkEntry {
         | 64 + (strlen(text)::BIGINT * 7) % 448 AS height,
         | 1 + strlen(text)::BIGINT % 15 AS n_frames
         |FROM documents""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))::BIGINT
+        |   AS n_pieces,
+        | len(list_distinct(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')))::BIGINT
+        |   AS n_distinct_pieces
+        |FROM documents""".stripMargin,
+    "q_winnow_fingerprint" -> {
+      val M = 1000000007L
+      val C = Iterator.iterate(1L)(x => x * 257L % M).take(8).toArray
+      val terms = (0 until 8).map(i =>
+        s"ascii(substr(text, j+$i, 1))::BIGINT * ${C(7 - i)}").mkString(" + ")
+      s"""WITH g AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |grams AS (SELECT doc_id,
+         |  list_transform(range(1, n - 6), j -> ($terms) % $M) AS h FROM g),
+         |wins AS (SELECT doc_id, CASE WHEN len(h) >= 4
+         |  THEN list_sort(list_distinct(list_transform(range(1, len(h) - 2),
+         |       j -> list_min(list_slice(h, j, j + 3)))))
+         |  ELSE [list_min(h)] END AS fps FROM grams)
+         |SELECT doc_id, unnest(fps) AS fp FROM wins""".stripMargin
+    },
     "q_distinct_count" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         | count(DISTINCT l_partkey) AS n_parts,
