@@ -247,6 +247,9 @@ object SparkEntry {
     // ---- ANN: LSH-bucketed scale path (approximate — no SQL oracle)
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(T(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
+    // ---- ANN: IVF coarse-quantizer scale path (approximate — no SQL oracle)
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(T(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
     // ---- embedding near-dup pairs (label-blocked)
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(T(s, dir, "embeddings"), threshold = 0.30)),

@@ -118,6 +118,81 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: k-means
+    * centroids partition the corpus into nlist inverted lists; a query
+    * probes only its nprobe nearest lists, so the search is a key-equijoin
+    * on list id (shuffle ∝ probed lists, never the n² compare). Training
+    * is deterministic: seed centroids by xxhash64 order, a fixed number of
+    * Lloyd iterations via per-dimension averages. Approximate (recall < 1);
+    * [[cosineTopK]] is the exactness baseline. Output shape matches it.
+    */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = 64
+
+    def toD(a: Seq[Float]): Array[Double] = a.map(_.toDouble).toArray
+    def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var j = 0
+        val ct = cents(c)
+        while (j < v.length) { val x = v(j) - ct(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // deterministic seeding: the nlist vectors with smallest xxhash64(vec_id)
+    var centroids: Array[Array[Double]] = emb
+      .select($"vec_id", $"embedding")
+      .withColumn("__h", xxhash64($"vec_id"))
+      .orderBy($"__h", $"vec_id").limit(nlist)
+      .select($"embedding").as[Seq[Float]].collect().map(toD)
+
+    // Lloyd: assign (broadcast centroids) -> per-dimension mean per list
+    for (_ <- 1 to lloydIters) {
+      val cb = spark.sparkContext.broadcast(centroids)
+      val assignU = udf((e: Seq[Float]) => nearest(toD(e), cb.value))
+      val means = emb
+        .withColumn("cid", assignU($"embedding"))
+        .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos").agg(avg($"x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+
+    val cb = spark.sparkContext.broadcast(centroids)
+    val assignU = udf((e: Seq[Float]) => nearest(toD(e), cb.value))
+    val probeU = udf((e: Seq[Float]) => {
+      val v = toD(e)
+      cb.value.indices
+        .map(c => {
+          var d = 0.0; var j = 0
+          while (j < v.length) { val x = v(j) - cb.value(c)(j); d += x * x; j += 1 }
+          (c, d)
+        })
+        .sortBy(_._2).take(nprobe).map(_._1)
+    })
+    val lists = emb.select($"vec_id".as("neighbor_id"), $"embedding")
+      .withColumn("cid", assignU($"embedding"))
+    val queries = emb.filter(isQuery)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(probeU($"embedding")).as("cid"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    lists.join(queries, "cid")
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("cos", cosine($"q_emb", $"embedding"))
+      .groupBy($"query_id", $"neighbor_id").agg(max($"cos").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"), $"rank")
+  }
+
   /** Blocked near-duplicate pairs: same-label blocking (the label is the
     * generic stand-in for any cheap blocking key), cosine above threshold.
     */

@@ -12,7 +12,7 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query has an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("q_ann_lsh"), // approximate by design
+    assert(noOracle === Set("q_ann_lsh", "q_ann_ivf"), // approximate by design
       s"queries without oracle SQL: $noOracle")
     val danglingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(danglingOracle.isEmpty)
@@ -78,6 +78,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(approx.nonEmpty, "LSH ANN returned nothing — buckets too selective")
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.0, "LSH found none of the true top-k")
+  }
+
+  test("ann ivf: returns k neighbors per query with decent recall vs exact") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("q_ann_topk")(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall $recall too low for nprobe=4/nlist=16")
   }
 
   test("simhash: near-identical token multisets collide, disjoint ones differ") {

@@ -116,6 +116,17 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     assertEqualResults(o, e)
   }
 
+  test("medium scale: engine == oracle on a ~3k-URL crawl (SURVEY §5.1 matrix)") {
+    val web = SyntheticWeb.WebConfig(hosts = 32, pagesPerHost = 100, hotHost = 3)
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(320, web), budgetPerHost = 50,
+      maxWaves = 1000, web = web, robots = SyntheticWeb.robotsFixture(web))
+    val (o, _) = new RefCrawler(cfg).run()
+    assert(o.trace.size > 2000, s"fixture too small: ${o.trace.size}")
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
   test("wave metrics roll up to oracle per-wave totals") {
     import spark.implicits._
     val cfg = mkCfg(nSeeds = 24, budget = 2)
