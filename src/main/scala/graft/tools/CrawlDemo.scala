@@ -14,8 +14,12 @@ object CrawlDemo {
     val budget = if (args.length > 1) args(1).toInt else 2
     val maxWaves = if (args.length > 2) args(2).toInt else 100
     val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    // robots rules via the full text path: synthesized robots.txt -> parser
+    val robots = graft.functions.RobotsTxt.syntheticRobotsTxt(web)
+      .flatMap { case (h, txt) => graft.functions.RobotsTxt.parse(h, txt).rules }
+      .toSeq.sortBy(r => (r.host, r.rule_order))
     val cfg = CrawlConfig(SyntheticWeb.seedUrls(nSeeds, web), budget, maxWaves,
-      web = web, robots = SyntheticWeb.robotsFixture(web))
+      web = web, robots = robots)
     val (res, totals) = new RefCrawler(cfg).run()
     println(s"[oracle] waves=${totals.size} fetched=${res.trace.size} " +
       s"seen=${res.seen.size} docs=${res.docs.size}")
