@@ -50,10 +50,13 @@ object SparkEntry {
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(s, dir)
+    // truncate + materialize once: the self-join would otherwise recompute
+    // the full shingle->minhash pipeline for each side
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until 8).map(i =>
         struct(lit(i).as("band"), col(s"mh$i").as("mh"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.mh").as("mh"))
+      .localCheckpoint(false)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("mh"))
     a.join(b, Seq("band", "mh")).filter(col("doc_a") < col("doc_b"))
@@ -219,6 +222,7 @@ object SparkEntry {
     "q_jaccard" -> ((s, dir) => {
       val shs = docsWithShingles(s, dir)
         .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+        .localCheckpoint(false) // reused by both pair sides + sizes
       val sizes = shs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val cands = lshPairs(s, dir)
       val inter = cands

@@ -57,14 +57,6 @@ object CrawlDriver {
 
   case class RunHandle(store: SnapshotStore, wavesRun: Int, fetchedTotal: Long)
 
-  private case class Candidate(
-      canonical_url: String,
-      host: String,
-      host_hash: Long,
-      depth: Int,
-      trace_seq: Long,
-      link_idx: Int)
-
   /** Deterministic global 0-based rank by `order` columns: two-phase
     * range-partition + per-partition offset (SURVEY.md §2.5 Q4) — avoids a
     * single-partition global window so numbering scales with cores.

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.CanonicalUrl
+import graft.operators.{BloomShard, CuckooFilter}
+import graft.util.XxHash64
+
+/** Generative property suites (SURVEY.md §5.2) — run by sbt's native
+  * ScalaCheck integration, no Spark session needed.
+  */
+object CanonicalUrlProps extends Properties("CanonicalUrl") {
+
+  private val genHost: Gen[String] = for {
+    n <- Gen.chooseNum(1, 3)
+    parts <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString))
+  } yield parts.mkString(".") + ".test"
+
+  private val genSegment: Gen[String] =
+    Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(6).mkString),
+      Gen.const("."), Gen.const(".."),
+      Gen.const("%7e"), Gen.const("%2F"), Gen.const("a%20b"))
+
+  private val genUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "Https")
+    host <- genHost
+    hostCased <- Gen.oneOf(host, host.toUpperCase)
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    nSeg <- Gen.chooseNum(0, 5)
+    segs <- Gen.listOfN(nSeg, genSegment)
+    query <- Gen.oneOf("", "?a=1&b=2", "?b=2&a=1", "?")
+    frag <- Gen.oneOf("", "#f", "#")
+  } yield s"$scheme://$hostCased$port/${segs.mkString("/")}$query$frag"
+
+  property("idempotent") = forAll(genUrl) { u =>
+    val c = CanonicalUrl.canonicalize(u)
+    CanonicalUrl.canonicalize(c) == c
+  }
+
+  property("lowercase scheme+host, no default ports, no fragments") =
+    forAll(genUrl) { u =>
+      val c = CanonicalUrl.canonicalize(u)
+      val schemeEnd = c.indexOf("://")
+      val scheme = c.substring(0, schemeEnd)
+      val host = CanonicalUrl.host(c)
+      scheme == scheme.toLowerCase && host == host.toLowerCase &&
+        !c.contains("#") &&
+        !(scheme == "http" && c.contains(s"$host:80/")) &&
+        !(scheme == "https" && c.contains(s"$host:443/"))
+    }
+
+  property("no dot segments survive") = forAll(genUrl) { u =>
+    val path = CanonicalUrl.path(CanonicalUrl.canonicalize(u))
+    !path.split('/').contains(".") && !path.split('/').contains("..")
+  }
+
+  property("resolve(base, abs-path) keeps base origin") =
+    forAll(genUrl, Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(6).mkString)) {
+      (base, seg) =>
+        val r = CanonicalUrl.resolve(base, s"/$seg")
+        CanonicalUrl.host(r) == CanonicalUrl.host(CanonicalUrl.canonicalize(base))
+    }
+}
+
+object FilterProps extends Properties("SeenFilters") {
+
+  private val genUrls: Gen[List[String]] =
+    Gen.listOf(for {
+      h <- Gen.chooseNum(0, 63)
+      p <- Gen.chooseNum(0, 100000)
+    } yield s"http://host$h.test/p/$p").map(_.distinct)
+
+  property("bloom: no false negatives") = forAll(genUrls) { urls =>
+    val b = BloomShard.sized(math.max(urls.size, 1), 0.01)
+    urls.foreach(b.insert)
+    urls.forall(b.mightContain)
+  }
+
+  property("bloom: merge(a,b) == insert-all") = forAll(genUrls, genUrls) { (ua, ub) =>
+    val a = BloomShard.sized(1000, 0.01)
+    val b = BloomShard.sized(1000, 0.01)
+    val all = BloomShard.sized(1000, 0.01)
+    ua.foreach(a.insert); ub.foreach(b.insert)
+    (ua ++ ub).foreach(all.insert)
+    a.merge(b).bits.toSeq == all.bits.toSeq
+  }
+
+  property("cuckoo: contains after insert; survivors intact after deletes") =
+    forAll(genUrls) { urls =>
+      val f = CuckooFilter.sized(math.max(urls.size * 2, 8))
+      urls.foreach(f.insert)
+      val (del, keep) = urls.splitAt(urls.size / 2)
+      val allIn = urls.forall(f.mightContain)
+      del.foreach(f.delete)
+      allIn && keep.forall(f.mightContain)
+    }
+
+  property("cuckoo: fingerprint merge preserves membership") =
+    forAll(genUrls, genUrls) { (ua, ub) =>
+      val cap = math.max((ua.size + ub.size) * 2, 8)
+      val a = CuckooFilter.sized(cap)
+      val b = CuckooFilter.sized(cap)
+      ua.foreach(a.insert); ub.foreach(b.insert)
+      a.mergeFrom(b)
+      (ua ++ ub).forall(a.mightContain)
+    }
+
+  property("xxhash64: pure impl matches itself across encodings of same string") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      XxHash64.hashString(s) == XxHash64.hash(s.getBytes("UTF-8"), 42L)
+    }
+}
