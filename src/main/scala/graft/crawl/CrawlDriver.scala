@@ -163,7 +163,7 @@ object CrawlDriver {
                    robotsB: org.apache.spark.broadcast.Broadcast[Seq[RobotsRule]]): RunHandle = {
     import spark.implicits._
 
-    val webCfg = cfg.web
+    val fetcher = cfg.fetcher
     val budget = cfg.budgetPerHost
 
     // Seen-filter plumbing, shared by bloom and cuckoo: the shard build is
@@ -293,7 +293,7 @@ object CrawlDriver {
           .as[(String, Int, Long)]
           .mapPartitions { it =>
             it.map { case (url, depth, seq) =>
-              val (spans, raw) = SyntheticWeb.fetchParse(url, webCfg)
+              val (spans, raw) = fetcher.fetchParse(url)
               val base = url
               // resolve + canonicalize outlinks in document order
               val links = raw.map(r => CanonicalUrl.resolve(base, r))

@@ -102,7 +102,7 @@ class RefCrawler(cfg: CrawlConfig) {
       var denied = 0L
       selected.zipWithIndex.foreach { case (e, i) =>
         trace += TraceRow(wave, i + 1L, e.host, e.canonical_url)
-        val (spans, rawLinks) = SyntheticWeb.fetchParse(e.canonical_url, cfg.web)
+        val (spans, rawLinks) = cfg.fetcher.fetchParse(e.canonical_url)
         docs += Doc(e.canonical_url, spans)
         rawLinks.foreach { raw =>
           val c = CanonicalUrl.resolve(e.canonical_url, raw)

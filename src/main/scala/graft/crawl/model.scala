@@ -51,6 +51,23 @@ case class WaveMetrics(
     robots_denied: Long,
     budget_deferred: Long)
 
+/** The fetch+parse contract: canonical URL -> ordered span array + raw
+  * outlink strings in document order. The deterministic [[SyntheticFetcher]]
+  * is the only implementation runnable in this sandbox (no network); a real
+  * HTTP fetcher (connection pool per host, HTML parse, link extraction)
+  * drops in behind the same trait without touching the engine — instances
+  * are broadcast-serialized into the parse stage.
+  */
+trait PageFetcher extends Serializable {
+  def fetchParse(canonicalUrl: String): (IndexedSeq[Span], IndexedSeq[String])
+}
+
+/** Deterministic sandbox fetcher over [[SyntheticWeb]]. */
+case class SyntheticFetcher(web: SyntheticWeb.WebConfig) extends PageFetcher {
+  override def fetchParse(url: String): (IndexedSeq[Span], IndexedSeq[String]) =
+    SyntheticWeb.fetchParse(url, web)
+}
+
 /** Crawl configuration shared by the oracle and the Spark engine. */
 case class CrawlConfig(
     seeds: Seq[String],
@@ -58,7 +75,10 @@ case class CrawlConfig(
     maxWaves: Int = Int.MaxValue,
     maxUrls: Long = Long.MaxValue,
     web: SyntheticWeb.WebConfig = SyntheticWeb.WebConfig(),
-    robots: Seq[RobotsRule] = Nil)
+    robots: Seq[RobotsRule] = Nil) {
+  /** The fetch implementation; engine and oracle share it. */
+  def fetcher: PageFetcher = SyntheticFetcher(web)
+}
 
 /** Final crawl state compared between oracle and engine (BASELINE.json
   * north_rule: crawl ordering + URL-seen set; input_hint: span equality).

@@ -115,6 +115,49 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
   private def ddlOf(schema: StructType): String =
     StructType(schema.fields.map(_.copy(nullable = true))).toDDL
 
+  /** Expire old snapshots (Iceberg's expire_snapshots): keep the last
+    * `keepLast` versions, delete older manifests and any data dir no
+    * retained manifest references (e.g. superseded COW rewrites of the
+    * pending frontier). Returns the deleted paths.
+    */
+  def expireSnapshots(keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentVersion.getOrElse(return Nil)
+    val keepFrom = math.max(0L, cur - keepLast + 1)
+    val referenced: Set[String] = (keepFrom to cur)
+      .map(manifest)
+      .flatMap(_.tables.values.flatMap(_.dataDirs)).toSet
+    val removed = Seq.newBuilder[String]
+    // unreferenced data dirs
+    val dataRoot = rootPath.resolve("data")
+    if (Files.isDirectory(dataRoot)) {
+      val tables = Files.list(dataRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        tables.iterator().asScala.filter(Files.isDirectory(_)).foreach { tdir =>
+          val vs = Files.list(tdir)
+          try {
+            vs.iterator().asScala.foreach { vdir =>
+              val rel = s"data/${tdir.getFileName}/${vdir.getFileName}"
+              if (!referenced.contains(rel)) {
+                val walk = Files.walk(vdir)
+                try walk.sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => Files.deleteIfExists(p))
+                finally walk.close()
+                removed += rel
+              }
+            }
+          } finally vs.close()
+        }
+      } finally tables.close()
+    }
+    // expired manifests
+    (0L until keepFrom).foreach { v =>
+      if (Files.deleteIfExists(manifestPath(v))) removed += s"manifests/v$v.json"
+    }
+    removed.result()
+  }
+
   /** Builder for one atomic multi-table commit. Data writes are deferred to
     * commit() and run as CONCURRENT Spark jobs (independent tables, FIFO
     * scheduler overlaps their stages), then the manifest is written and the

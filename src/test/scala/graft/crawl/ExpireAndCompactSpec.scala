@@ -52,6 +52,22 @@ class ExpireAndCompactSpec extends AnyFunSuite {
     assert(others.distinct.size === others.size)
   }
 
+  test("expireSnapshots keeps the current state readable, drops stale COW dirs") {
+    val root = Files.createTempDirectory("gc").toString
+    CrawlDriver.run(spark, cfg(), root)
+    val store = new SnapshotStore(root, spark)
+    val before = store.read("seen").count()
+    val traceBefore = store.read("trace").count()
+    val removed = store.expireSnapshots(keepLast = 1)
+    // superseded pending COW rewrites + old manifests must go
+    assert(removed.exists(_.startsWith("data/pending/")), s"no pending dirs GC'd: $removed")
+    assert(removed.exists(_.startsWith("manifests/")))
+    // current state fully intact (append-table dirs all still referenced)
+    assert(store.read("seen").count() === before)
+    assert(store.read("trace").count() === traceBefore)
+    assert(store.read("pending").count() === 0)
+  }
+
   test("compaction shrinks seen to one data dir; time-travel unaffected") {
     val root = Files.createTempDirectory("compact").toString
     CrawlDriver.run(spark, cfg(), root)
