@@ -164,7 +164,10 @@ object CrawlDriver {
     import spark.implicits._
 
     val fetcher = cfg.fetcher
-    val budget = cfg.budgetPerHost
+    val defaultBudget = cfg.budgetPerHost
+    val hostBudgetsB = spark.sparkContext.broadcast(cfg.hostBudgets)
+    val budgetOf = udf((host: String) =>
+      hostBudgetsB.value.getOrElse(host, defaultBudget))
 
     // Seen-filter plumbing, shared by bloom and cuckoo: the shard build is
     // an executor-side Aggregator grouped by host-hash shard — only S tiny
@@ -259,8 +262,8 @@ object CrawlDriver {
         val hostWin = Window.partitionBy($"host_hash")
           .orderBy($"priority", $"discovery_time", $"canonical_url")
         val ranked = pending.toDF().withColumn("__rk", row_number().over(hostWin)).cache()
-        val selectedRaw = ranked.filter($"__rk" <= budget).drop("__rk")
-        val deferred = ranked.filter($"__rk" > budget).drop("__rk").as[FrontierEntry]
+        val selectedRaw = ranked.filter($"__rk" <= budgetOf($"host")).drop("__rk")
+        val deferred = ranked.filter($"__rk" > budgetOf($"host")).drop("__rk").as[FrontierEntry]
 
         // ---- Q4: wave trace numbering (two-phase rank, no global window)
         val selected = withGlobalSeq(selectedRaw,

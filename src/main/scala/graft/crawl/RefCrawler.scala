@@ -87,9 +87,9 @@ class RefCrawler(cfg: CrawlConfig) {
     while (pending.nonEmpty && wave <= cfg.maxWaves && fetchedTotal < cfg.maxUrls) {
       // wave selection: per host, first B in frontier order
       val byHost = pending.groupBy(_.host)
-      val selected = byHost.valuesIterator.flatMap { entries =>
+      val selected = byHost.iterator.flatMap { case (host, entries) =>
         entries.sortBy(e => (e.priority, e.discovery_time, e.canonical_url))
-          .take(cfg.budgetPerHost)
+          .take(cfg.budgetFor(host))
       }.toIndexedSeq
         .sortBy(e => (e.priority, e.discovery_time, e.canonical_url))
       val deferred = pending.size - selected.size

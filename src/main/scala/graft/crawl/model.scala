@@ -68,16 +68,22 @@ case class SyntheticFetcher(web: SyntheticWeb.WebConfig) extends PageFetcher {
     SyntheticWeb.fetchParse(url, web)
 }
 
-/** Crawl configuration shared by the oracle and the Spark engine. */
+/** Crawl configuration shared by the oracle and the Spark engine.
+  * hostBudgets: per-host politeness overrides (e.g. mapped from robots
+  * Crawl-delay via [[graft.functions.RobotsTxt]]); hosts not listed use
+  * budgetPerHost.
+  */
 case class CrawlConfig(
     seeds: Seq[String],
     budgetPerHost: Int,
     maxWaves: Int = Int.MaxValue,
     maxUrls: Long = Long.MaxValue,
     web: SyntheticWeb.WebConfig = SyntheticWeb.WebConfig(),
-    robots: Seq[RobotsRule] = Nil) {
+    robots: Seq[RobotsRule] = Nil,
+    hostBudgets: Map[String, Int] = Map.empty) {
   /** The fetch implementation; engine and oracle share it. */
   def fetcher: PageFetcher = SyntheticFetcher(web)
+  def budgetFor(host: String): Int = hostBudgets.getOrElse(host, budgetPerHost)
 }
 
 /** Final crawl state compared between oracle and engine (BASELINE.json

@@ -67,6 +67,13 @@ object RobotsTxt {
     Parsed(rules.result(), crawlDelay)
   }
 
+  /** Map a Crawl-delay (seconds between requests) to a per-wave politeness
+    * budget, given the wave period the scheduler targets: a host asking for
+    * delay d gets at most floor(period / d) fetches per wave, at least 1.
+    */
+  def budgetForDelay(delaySeconds: Double, wavePeriodSeconds: Double = 60.0): Int =
+    math.max(1, math.floor(wavePeriodSeconds / math.max(delaySeconds, 1e-9)).toInt)
+
   /** Synthesized robots.txt TEXTS whose parse reproduces
     * [[graft.crawl.SyntheticWeb.robotsFixture]] — ties the text parser
     * into the deterministic fixture path.

@@ -116,6 +116,24 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     assertEqualResults(o, e)
   }
 
+  test("per-host budget overrides (Crawl-delay mapping): engine == oracle, budgets hold") {
+    val base = mkCfg(nSeeds = 24, budget = 3)
+    val overrides = Map("host0.test" -> 1, "host3.test" -> 5,
+      "host5.test" -> graft.functions.RobotsTxt.budgetForDelay(30.0, wavePeriodSeconds = 60))
+    val cfg = base.copy(hostBudgets = overrides)
+    val (o, _) = new RefCrawler(cfg).run()
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+    // budget caps hold per host per wave
+    o.trace.groupBy(t => (t.wave, t.host)).foreach { case ((w, h), rows) =>
+      assert(rows.size <= cfg.budgetFor(h), s"wave $w host $h over budget")
+    }
+    assert(o.trace.groupBy(t => (t.wave, t.host))
+      .exists { case ((_, h), rows) => h == "host3.test" && rows.size > 3 },
+      "host3 override never exercised above the default budget")
+  }
+
   test("medium scale: engine == oracle on a ~3k-URL crawl (SURVEY §5.1 matrix)") {
     val web = SyntheticWeb.WebConfig(hosts = 32, pagesPerHost = 100, hotHost = 3)
     val cfg = CrawlConfig(SyntheticWeb.seedUrls(320, web), budgetPerHost = 50,
