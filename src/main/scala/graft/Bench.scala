@@ -104,16 +104,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
-    // ---- part 1: driver-contract queries
+    // ---- part 1: driver-contract queries (failures are NOT swallowed:
+    // a broken query reports its error in the JSON, not a plausible timing)
     val spark = newSession(cpus.toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(e.toString.take(200))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     spark.stop()
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }
+    val errJson = if (errs.isEmpty) "null" else errs.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // ---- part 2: crawl throughput at two parallelism levels (no real
@@ -140,6 +147,6 @@ object Bench {
       }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""sf":"$sfDir","crawl_scaling":$scalingJson}""")
+      f""""errors":$errJson,"sf":"$sfDir","crawl_scaling":$scalingJson}""")
   }
 }

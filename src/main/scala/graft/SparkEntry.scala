@@ -451,14 +451,23 @@ object SparkEntry {
         |   AS n_distinct_pieces
         |FROM documents""".stripMargin,
     "q_winnow_fingerprint" -> {
+      // mirrors RollingFingerprint.compute exactly, INCLUDING docs shorter
+      // than k=8 chars (kk = min(k, max(n,1)): the whole text is one gram)
+      // and empty docs (no gram -> no row)
       val M = 1000000007L
       val C = Iterator.iterate(1L)(x => x * 257L % M).take(8).toArray
-      val terms = (0 until 8).map(i =>
-        s"ascii(substr(text, j+$i, 1))::BIGINT * ${C(7 - i)}").mkString(" + ")
+      def terms(kk: Int, j: String) = (0 until kk).map(i =>
+        s"ascii(substr(text, $j+$i, 1))::BIGINT * ${C(kk - 1 - i)}").mkString(" + ")
+      val shortBranches = (1 to 7).map(kk =>
+        s"WHEN n = $kk THEN [(${terms(kk, "1")}) % $M]").mkString(" ")
       s"""WITH g AS (SELECT doc_id, text, length(text) AS n FROM documents),
-         |grams AS (SELECT doc_id,
-         |  list_transform(range(1, n - 6), j -> ($terms) % $M) AS h FROM g),
-         |wins AS (SELECT doc_id, CASE WHEN len(h) >= 4
+         |grams AS (SELECT doc_id, CASE
+         |  WHEN n >= 8 THEN list_transform(range(1, n - 6), j -> (${terms(8, "j")}) % $M)
+         |  $shortBranches
+         |  ELSE []::BIGINT[] END AS h FROM g),
+         |wins AS (SELECT doc_id, CASE
+         |  WHEN len(h) = 0 THEN []::BIGINT[]
+         |  WHEN len(h) >= 4
          |  THEN list_sort(list_distinct(list_transform(range(1, len(h) - 2),
          |       j -> list_min(list_slice(h, j, j + 3)))))
          |  ELSE [list_min(h)] END AS fps FROM grams)

@@ -73,10 +73,16 @@ object CrawlDriver {
         row_number().over(Window.orderBy(cols: _*)).cast("long") - 1L)
     }
     val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    // localCheckpoint: the offsets job and the final join BOTH consume
+    // `ranged` — checkpointing materializes the range partitioning once, so
+    // the numbering cannot be skewed by a nondeterministic upstream or a
+    // cache eviction re-running the sort differently, and the sort/shuffle
+    // is paid once instead of twice.
     val ranged = df
       .repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     // per-partition counts are n tiny rows: the single-partition running-sum
     // window below is over those n rows, never the data
     val offsets = ranged

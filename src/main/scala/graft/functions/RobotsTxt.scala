@@ -4,31 +4,30 @@ import graft.crawl.RobotsRule
 
 /** robots.txt parser (public REP format, RFC 9309 subset): groups of
   * `User-agent:` lines followed by `Allow:` / `Disallow:` path-prefix
-  * rules, `#` comments, case-insensitive field names, first matching
-  * user-agent group wins. Produces the engine's [[RobotsRule]] rows
-  * (longest-prefix-wins evaluation happens at admission).
+  * rules, `#` comments, case-insensitive field names. Produces the
+  * engine's [[RobotsRule]] rows (longest-prefix-wins evaluation happens at
+  * admission).
   *
   * Semantics implemented:
-  *  - a group applies if any of its user-agents is `*` or equals ours;
+  *  - RFC 9309 §2.2.1 group selection: the MOST SPECIFIC matching named
+  *    user-agent wins (longest product-token substring match); groups whose
+  *    matched agent ties at that specificity are COMBINED; the `*` group is
+  *    used only when NO named group matches;
   *  - empty `Disallow:` means allow-all (no rule emitted);
   *  - `Allow:` rules emitted with allow=true (longest prefix wins at
   *    evaluation, per RFC 9309 §2.2.2);
   *  - `Crawl-delay:` captured (non-standard but ubiquitous) for politeness
-  *    budget mapping.
+  *    budget mapping; taken from the selected group(s), last one wins.
   */
 object RobotsTxt {
 
   case class Parsed(rules: Seq[RobotsRule], crawlDelaySeconds: Option[Double])
 
+  private case class RawRule(field: String, value: String)
+  private case class Group(agents: List[String], body: List[RawRule])
+
   def parse(host: String, content: String, userAgent: String = "graft"): Parsed = {
     val ua = userAgent.toLowerCase
-    var order = 0
-    val rules = Seq.newBuilder[RobotsRule]
-    var crawlDelay: Option[Double] = None
-
-    var groupAgents = List.empty[String]
-    var groupApplies = false
-    var sawRuleInGroup = false
 
     def lineField(line: String): Option[(String, String)] = {
       val noComment = {
@@ -41,29 +40,61 @@ object RobotsTxt {
         noComment.substring(j + 1).trim))
     }
 
+    // phase 1: split into groups (adjacent user-agent lines share a group;
+    // a user-agent line after rules starts a new group)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = List.empty[String]
+    var body = List.empty[RawRule]
+    var sawRule = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.reverse, body.reverse)
+      agents = Nil; body = Nil; sawRule = false
+    }
     content.linesIterator.foreach { raw =>
       lineField(raw) match {
         case Some(("user-agent", agent)) =>
-          // a user-agent line after rules starts a NEW group
-          if (sawRuleInGroup) { groupAgents = Nil; sawRuleInGroup = false }
-          groupAgents ::= agent.toLowerCase
-          groupApplies = groupAgents.exists(a => a == "*" || ua.contains(a))
-        case Some(("disallow", path)) =>
-          sawRuleInGroup = true
-          if (groupApplies && path.nonEmpty) {
-            rules += RobotsRule(host, path, allow = false, order); order += 1
-          }
-        case Some(("allow", path)) =>
-          sawRuleInGroup = true
-          if (groupApplies && path.nonEmpty) {
-            rules += RobotsRule(host, path, allow = true, order); order += 1
-          }
-        case Some(("crawl-delay", v)) =>
-          sawRuleInGroup = true
-          if (groupApplies) crawlDelay = v.toDoubleOption.orElse(crawlDelay)
+          if (sawRule) flush()
+          agents ::= agent.toLowerCase
+        case Some((f @ ("disallow" | "allow" | "crawl-delay"), v)) =>
+          sawRule = true
+          body ::= RawRule(f, v)
         case _ => // blank/unknown/comment lines
       }
     }
+    flush()
+
+    // phase 2: RFC 9309 §2.2.1 group selection — specificity of a group =
+    // length of its longest named agent token matching ours (0 for `*`,
+    // no match = ineligible). The best specificity wins; ties combine;
+    // `*` applies only when no named group matched.
+    val withSpec = groups.toSeq.map { g =>
+      val named = g.agents.filter(_ != "*").filter(a => ua.contains(a))
+      val spec =
+        if (named.nonEmpty) Some(named.map(_.length).max)
+        else if (g.agents.contains("*")) Some(0)
+        else None
+      (g, spec)
+    }
+    val eligible = withSpec.collect { case (g, Some(s)) => (g, s) }
+    val selected =
+      if (eligible.isEmpty) Seq.empty[Group]
+      else {
+        val best = eligible.map(_._2).max
+        eligible.filter(_._2 == best).map(_._1)
+      }
+
+    var order = 0
+    val rules = Seq.newBuilder[RobotsRule]
+    var crawlDelay: Option[Double] = None
+    selected.foreach(_.body.foreach {
+      case RawRule("disallow", path) if path.nonEmpty =>
+        rules += RobotsRule(host, path, allow = false, order); order += 1
+      case RawRule("allow", path) if path.nonEmpty =>
+        rules += RobotsRule(host, path, allow = true, order); order += 1
+      case RawRule("crawl-delay", v) =>
+        crawlDelay = v.toDoubleOption.orElse(crawlDelay)
+      case _ => // empty disallow/allow = no rule
+    })
     Parsed(rules.result(), crawlDelay)
   }
 

@@ -29,9 +29,15 @@ final class CuckooFilter(val numBucketsPow2: Int, maxKicks: Int = 500)
     "numBuckets must be a power of two")
 
   private val SlotsPerBucket = 4
+  private val StashBound = 64
   private val table = new Array[Short](numBucketsPow2 * SlotsPerBucket)
   private val stash = scala.collection.mutable.ArrayBuffer.empty[(Int, Short)]
   private var count = 0L
+  // inserts that landed in the stash PAST its bound — an undersized or
+  // host-hash-skewed shard degrades the probe to O(stash); surface it
+  // (warn once + counter) instead of a silent latency cliff.
+  private var overflows = 0L
+  private var warned = false
 
   @inline private def mask: Int = numBucketsPow2 - 1
 
@@ -111,8 +117,21 @@ final class CuckooFilter(val numBucketsPow2: Int, maxKicks: Int = 500)
     }
     stash += ((b, f))
     count += 1
-    stash.size <= 64
+    if (stash.size > StashBound) {
+      overflows += 1
+      if (!warned) {
+        warned = true
+        System.err.println(f"[cuckoo] WARN stash overflow: size=${stash.size} " +
+          f"buckets=$numBucketsPow2 load=$loadFactor%.3f — shard undersized or " +
+          "host-hash skewed; probes degrade to O(stash). Raise bloomItemsPerShard.")
+      }
+    }
+    stash.size <= StashBound
   }
+
+  /** Inserts past the stash bound (see StashBound) — 0 on a well-sized shard. */
+  def stashOverflows: Long = overflows
+  def stashSize: Int = stash.size
 
   /** Merge another filter of the SAME geometry into this one. */
   def mergeFrom(o: CuckooFilter): CuckooFilter = {
@@ -225,6 +244,8 @@ final class ShardedCuckoo(val shards: Array[CuckooFilter]) extends ShardedSeenFi
     shards(shardIdx).mergeFrom(CuckooFilter.deserialize(bytes))
   def copyOf(): ShardedCuckoo =
     new ShardedCuckoo(shards.map(s => CuckooFilter.deserialize(s.serialize())))
+  /** Total stash-bound overflows across shards — mis-sizing diagnostic. */
+  def stashOverflows: Long = shards.map(_.stashOverflows).sum
 }
 
 object ShardedCuckoo {

@@ -82,7 +82,11 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       throw new IllegalArgumentException(s"unknown table '$table' in v${m.version}"))
     val schema = StructType.fromDDL(st.schemaDdl)
     val dirsWithData = st.dataDirs.map(d => rootPath.resolve(d)).filter { p =>
-      Files.isDirectory(p) && Files.list(p).anyMatch(f => f.toString.endsWith(".parquet"))
+      Files.isDirectory(p) && {
+        val s = Files.list(p)
+        try s.anyMatch(f => f.toString.endsWith(".parquet"))
+        finally s.close()
+      }
     }
     if (dirsWithData.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -46,6 +46,62 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(p.rules === Seq(RobotsRule("h.test", "/x", allow = false, 0)))
   }
 
+  test("RFC 9309 §2.2.1: a named group OVERRIDES the * group (not merged)") {
+    val txt =
+      """User-agent: graft
+        |Disallow: /graft-only/
+        |
+        |User-agent: *
+        |Disallow: /everyone/
+        |Crawl-delay: 9
+        |""".stripMargin
+    val p = RobotsTxt.parse("h.test", txt)
+    assert(p.rules.map(_.path_prefix) === Seq("/graft-only/"),
+      "only the named group's rules apply when a named group matches")
+    assert(p.crawlDelaySeconds === None,
+      "crawl-delay of the unselected * group must not leak")
+  }
+
+  test("RFC 9309 §2.2.1: named group selected even when it appears AFTER *") {
+    val txt =
+      """User-agent: *
+        |Disallow: /everyone/
+        |
+        |User-agent: graft
+        |Disallow: /graft-only/
+        |""".stripMargin
+    val p = RobotsTxt.parse("h.test", txt)
+    assert(p.rules.map(_.path_prefix) === Seq("/graft-only/"))
+  }
+
+  test("RFC 9309 §2.2.1: most-specific named match wins; equal ties combine") {
+    val txt =
+      """User-agent: gra
+        |Disallow: /short/
+        |
+        |User-agent: graft
+        |Disallow: /long-a/
+        |
+        |User-agent: graft
+        |Disallow: /long-b/
+        |""".stripMargin
+    val p = RobotsTxt.parse("h.test", txt)
+    assert(p.rules.map(_.path_prefix) === Seq("/long-a/", "/long-b/"),
+      "longest agent-token match wins; same-specificity groups combine")
+  }
+
+  test("* group is used when no named group matches") {
+    val txt =
+      """User-agent: otherbot
+        |Disallow: /other/
+        |
+        |User-agent: *
+        |Disallow: /fallback/
+        |""".stripMargin
+    val p = RobotsTxt.parse("h.test", txt)
+    assert(p.rules.map(_.path_prefix) === Seq("/fallback/"))
+  }
+
   test("parsed synthetic robots.txt reproduces the fixture rule set") {
     val cfg = SyntheticWeb.WebConfig(hosts = 16, pagesPerHost = 10)
     val expected = SyntheticWeb.robotsFixture(cfg)

@@ -94,4 +94,18 @@ class FilterSpec extends AnyFunSuite {
     in.foreach(a.insert); in.foreach(b.insert)
     assert(a.serialize().toSeq === b.serialize().toSeq)
   }
+
+  test("cuckoo: undersized shard SURFACES stash overflow (counter, not silent)") {
+    val f = new CuckooFilter(64) // capacity 256 — grossly undersized
+    val in = urls(2000, "over")
+    in.foreach(f.insert)
+    assert(f.stashOverflows > 0, "overflow past the stash bound must be counted")
+    assert(f.stashSize > 64)
+    // membership correctness survives the overflow — only the probe cost degrades
+    in.foreach(u => assert(f.mightContain(u), s"false negative under overflow: $u"))
+    // a well-sized filter never overflows
+    val ok = CuckooFilter.sized(2000)
+    in.foreach(ok.insert)
+    assert(ok.stashOverflows === 0L)
+  }
 }
