@@ -43,19 +43,24 @@ object SparkEntry {
       .withColumn("ts", toks(col("text")))
       .withColumn("sh", sh3(col("ts"), col("text")))
 
+  /** All 8 minhash slots from the ONE native codegen'd expression (plan is
+    * a single node instead of 8 CodegenFallback lambda trees); semantics
+    * identical to the composed TextOps pipeline (asserted in QueriesSpec).
+    */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val mh = (0 until 8).map(i => TextOps.minhash(col("sh"), i).as(s"mh$i"))
-    docsWithShingles(s, dir).select((col("doc_id") +: mh): _*)
+    val sig = graft.functions.MinhashSignatures.minhash_signatures(col("text"), 8, 3)
+    T(s, dir, "documents")
+      .select(col("doc_id"), sig.as("mhs"))
+      .select((col("doc_id") +:
+        (0 until 8).map(i => element_at(col("mhs"), i + 1).as(s"mh$i"))): _*)
   }
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(s, dir)
-    // truncate + materialize once: the self-join would otherwise recompute
-    // the full shingle->minhash pipeline for each side
-    val bands = sigs.select(col("doc_id"),
-      explode(array((0 until 8).map(i =>
-        struct(lit(i).as("band"), col(s"mh$i").as("mh"))): _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.mh").as("mh"))
+    val sig = graft.functions.MinhashSignatures.minhash_signatures(col("text"), 8, 3)
+    // (band, mh) keys straight off the signature array; materialize once —
+    // the self-join would otherwise recompute minhash for each side
+    val bands = T(s, dir, "documents")
+      .select(col("doc_id"), posexplode(sig).as(Seq("band", "mh")))
       .localCheckpoint(false)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("mh"))
