@@ -154,10 +154,16 @@ object SparkEntry {
       o.filter(col("o_totalprice") > 300000).select(col("o_orderkey"))
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_orderkey")))
     }),
-    // ---- analytic window (running politeness-budget accounting shape)
+    // ---- analytic window (running politeness-budget accounting shape).
+    // l_quantity is the FINAL tiebreak: the synthetic lineitem is not
+    // uniquely keyed at every sf ((orderkey, linenumber) dupes exist), and
+    // a sort-key tie between different quantities makes the running sum
+    // order-ambiguous across engines; ties on quantity are harmless since
+    // only quantity is summed.
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -253,15 +259,25 @@ object SparkEntry {
     // ---- ANN: exact cosine top-k baseline
     "q_ann_topk" -> ((s, dir) =>
       Similarity.cosineTopK(T(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
-    // ---- ANN: LSH-bucketed scale path (approximate — no SQL oracle)
+    // ---- ANN: LSH-bucketed scale path (approximate recall by design, but
+    // deterministic: md5-derived planes, so the oracle re-derives buckets)
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(T(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
-    // ---- ANN: IVF coarse-quantizer scale path (approximate — no SQL oracle)
-    "q_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(T(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
-    // ---- embedding near-dup pairs (label-blocked)
+    // ---- ANN: IVF coarse-quantizer scale path. The driver-checked form
+    // uses the md5-seeded quantizer (oracle re-derives the identical lists);
+    // the Lloyd-trained reusable index is IvfIndex (recall-tested in sbt).
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, col("vec_id") < 8, k = 5,
+        centroids = Similarity.seedCentroids(emb, nlist = 16), nprobe = 4)
+    }),
+    // ---- embedding near-dup pairs (label-blocked exactness baseline)
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(T(s, dir, "embeddings"), threshold = 0.30)),
+    // ---- embedding near-dup pairs, LSH-bucket-routed (the 100-TB path:
+    // shuffle key = bucket, no block ever goes quadratic in the corpus)
+    "q_embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(T(s, dir, "embeddings"), threshold = 0.30)),
     // ---- multimodal metadata over binary payloads
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.docsAsMedia(s, T(s, dir, "documents"))
@@ -303,8 +319,33 @@ object SparkEntry {
     })
   )
 
-  /** DuckDB-runnable twins. q_ann_lsh omitted (approximate by design —
-    * rows-only check; its exactness baseline is q_ann_topk).
+  // Shared embedding CTE fragments (DuckDB): double-promoted embeddings,
+  // norms, and the md5-derived sign-bit LSH planes/buckets — the EXACT
+  // derivation the Spark side uses, so the approximate ANN paths are
+  // deterministic and hash-checkable, not rows-only.
+  private val SqlEmbN =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      |       FROM embeddings),
+      |n AS (SELECT vec_id, emb,
+      |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e)""".stripMargin
+  private val SqlLshBuckets =
+    """planes AS (
+      |  SELECT t, h, list(CASE WHEN substr(md5('hp|' || t || '|' || h || '|' || j), 1, 1) < '8'
+      |                    THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY j) AS wv
+      |  FROM range(4) tt(t) CROSS JOIN range(8) hh(h) CROSS JOIN range(64) jj(j)
+      |  GROUP BY t, h),
+      |bits AS (
+      |  SELECT n.vec_id, p.t, p.h,
+      |    CASE WHEN list_sum(list_transform(range(1, 65), j -> n.emb[j] * p.wv[j])) >= 0
+      |         THEN '1' ELSE '0' END AS bit
+      |  FROM n CROSS JOIN planes p),
+      |buckets AS (
+      |  SELECT vec_id, t::VARCHAR || '|' || string_agg(bit, '' ORDER BY h) AS bucket
+      |  FROM bits GROUP BY vec_id, t),
+      |ex AS (SELECT n.vec_id, n.emb, n.nrm, b.bucket FROM n JOIN buckets b USING (vec_id))""".stripMargin
+
+  /** DuckDB-runnable twins — one per query, including the approximate ANN
+    * paths (deterministic md5-derived buckets/lists re-derived in SQL).
     */
   def oracleSql: Map[String, String] = Map(
     "q_hash_agg" ->
@@ -349,7 +390,7 @@ object SparkEntry {
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
         |FROM lineitem""".stripMargin,
     "q_join_agg" ->
@@ -431,6 +472,61 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY c DESC, neighbor_id) AS rank FROM p)
         |WHERE rank <= 5""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH $SqlEmbN,
+         |$SqlLshBuckets,
+         |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, bucket
+         |      FROM ex WHERE vec_id < 8),
+         |p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+         |        list_sum(list_transform(range(1, 65), j -> q.qe[j] * x.emb[j]))
+         |          / (q.qn * x.nrm) AS c
+         |      FROM q JOIN ex x USING (bucket) WHERE x.vec_id != q.query_id),
+         |g AS (SELECT query_id, neighbor_id, max(c) AS c FROM p
+         |      GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, neighbor_id) AS rank FROM g)
+         |WHERE rank <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH $SqlEmbN,
+         |ranked AS (SELECT vec_id, emb,
+         |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS r FROM e),
+         |seeds AS (SELECT r - 1 AS cid, emb AS cemb FROM ranked WHERE r <= 16),
+         |dist AS (SELECT e.vec_id, s.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      j -> (e.emb[j] - s.cemb[j]) * (e.emb[j] - s.cemb[j]))) AS d
+         |  FROM e CROSS JOIN seeds s),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM dist)
+         |  WHERE rr = 1),
+         |probes AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr
+         |    FROM dist WHERE vec_id < 8)
+         |  WHERE rr <= 4),
+         |p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 65), j -> nq.emb[j] * nn.emb[j]))
+         |      / (nq.nrm * nn.nrm) AS c
+         |  FROM probes pr JOIN assign a USING (cid)
+         |  JOIN n nq ON nq.vec_id = pr.query_id
+         |  JOIN n nn ON nn.vec_id = a.vec_id
+         |  WHERE a.vec_id != pr.query_id),
+         |g AS (SELECT query_id, neighbor_id, max(c) AS c FROM p
+         |      GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, neighbor_id) AS rank FROM g)
+         |WHERE rank <= 5""".stripMargin,
+    "q_embedding_neardup_lsh" ->
+      s"""WITH $SqlEmbN,
+         |$SqlLshBuckets,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        list_sum(list_transform(range(1, 65), j -> a.emb[j] * b.emb[j]))
+         |          / (a.nrm * b.nrm) AS c
+         |      FROM ex a JOIN ex b USING (bucket) WHERE a.vec_id < b.vec_id),
+         |g AS (SELECT id_a, id_b, max(c) AS c FROM p GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, round(c, 6) AS cos FROM g WHERE c >= 0.30""".stripMargin,
     "q_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),

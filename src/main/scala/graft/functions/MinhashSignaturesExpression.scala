@@ -56,7 +56,10 @@ object MinhashSignatures {
     java.security.MessageDigest.getInstance("MD5"))
   private val HexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(s: String): String = {
+  /** Lowercase-hex md5 of UTF-8 bytes — the cross-engine (DuckDB-parity)
+    * hash primitive, shared with the ANN hyperplane derivation.
+    */
+  private[graft] def md5Hex(s: String): String = {
     val md = md5Tl.get()
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

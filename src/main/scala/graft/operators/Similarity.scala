@@ -1,19 +1,23 @@
 package graft.operators
 
-import graft.util.XxHash64
+import graft.functions.MinhashSignatures.md5Hex
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor / vector-similarity operators over an
   * embedding column (`array<float>`), per the training-data-pipeline brief:
   * brute-force cosine top-k as the exactness baseline, a
-  * random-hyperplane-LSH bucketed variant as the 100-TB scale path.
+  * random-hyperplane-LSH bucketed variant and an IVF (inverted-file)
+  * coarse quantizer as the 100-TB scale paths.
   *
   * All arithmetic is promoted to double and folded STRICTLY left-to-right
   * (functions.aggregate), so the oracle (DuckDB list lambdas, same order)
-  * produces bit-identical doubles before the final rounding.
+  * produces bit-identical doubles before the final rounding. The LSH
+  * hyperplanes and the IVF seed quantizer are derived from md5 (not
+  * xxhash64) for the same reason: the oracle re-derives the exact same
+  * buckets/lists in SQL, making both approximate paths hash-checkable.
   */
 object Similarity {
 
@@ -49,12 +53,14 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** Deterministic ±1 random hyperplanes (seeded, shared across runs).
-    * `table` selects an independent family for multi-table LSH.
+  /** Deterministic ±1 random hyperplanes, derived from md5 so the DuckDB
+    * oracle re-derives the identical family in SQL (first hex digit of
+    * md5("hp|table|bit|dim") < '8' → +1). `table` selects an independent
+    * family for multi-table LSH.
     */
   def hyperplanes(table: Int, nBits: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nBits, dim) { (h, j) =>
-      if ((XxHash64.hashString(s"hp|$table|$h|$j") & 1L) == 0L) 1.0 else -1.0
+      if (md5Hex(s"hp|$table|$h|$j").charAt(0) < '8') 1.0 else -1.0
     }
 
   /** Sign-bit LSH bucket key: bit h = (emb · hyperplane_h >= 0). Vectors in
@@ -69,19 +75,14 @@ object Similarity {
     concat(bits: _*)
   }
 
-  /** Multi-table LSH ANN (standard construction: L independent tables of
-    * b sign bits; a pair is a candidate if it collides in ANY table). The
-    * bucket key is the join/shuffle key, so candidate generation is a
-    * key-equijoin, never the n² cross — the 100-TB scale path. Recall < 1
-    * by design; [[cosineTopK]] is the exactness baseline. Output shape
-    * matches cosineTopK.
+  /** All (vec_id, embedding, bucket) rows across `nTables` sign-bit LSH
+    * tables — bucket = "t|bits". One UDF closure over the plane matrix
+    * (as Column expressions this would be nTables*bits*dim literal nodes,
+    * bloating analysis far beyond the work itself). Dot products fold in
+    * ascending dim order (double), matching the oracle's list_sum.
     */
-  def lshTopK(emb: DataFrame, isQuery: Column, k: Int,
-              nTables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
-    val dim = 64
-    // bucket keys via a closure over the precomputed plane matrix — as
-    // Column expressions this is nTables*bits*dim literal nodes, which
-    // bloats analysis/codegen far beyond the work itself
+  private def lshExplode(emb: DataFrame, nTables: Int, bitsPerTable: Int,
+                         dim: Int): DataFrame = {
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(nTables)(t => hyperplanes(t, bitsPerTable, dim))
     val bucketsUdf = udf { (e: Seq[Float]) =>
@@ -97,9 +98,21 @@ object Similarity {
         sb.toString
       }
     }
-    val exploded = emb
-      .select(col("vec_id"), col("embedding"),
-        explode(bucketsUdf(col("embedding"))).as("bucket"))
+    emb.select(col("vec_id"), col("embedding"),
+      explode(bucketsUdf(col("embedding"))).as("bucket"))
+  }
+
+  /** Multi-table LSH ANN (standard construction: L independent tables of
+    * b sign bits; a pair is a candidate if it collides in ANY table). The
+    * bucket key is the join/shuffle key, so candidate generation is a
+    * key-equijoin, never the n² cross — the 100-TB scale path. Recall < 1
+    * by design; [[cosineTopK]] is the exactness baseline — but the output
+    * itself is DETERMINISTIC and oracle-checkable (md5-derived planes).
+    * Output shape matches cosineTopK.
+    */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int,
+              nTables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    val exploded = lshExplode(emb, nTables, bitsPerTable, dim = 64)
     val queries = exploded.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
     val candPairs = exploded
@@ -118,65 +131,65 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: k-means
-    * centroids partition the corpus into nlist inverted lists; a query
-    * probes only its nprobe nearest lists, so the search is a key-equijoin
-    * on list id (shuffle ∝ probed lists, never the n² compare). Training
-    * is deterministic: seed centroids by xxhash64 order, a fixed number of
-    * Lloyd iterations via per-dimension averages. Approximate (recall < 1);
-    * [[cosineTopK]] is the exactness baseline. Output shape matches it.
-    */
-  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val dim = 64
+  private[graft] def toD(a: Seq[Float]): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i).toDouble; i += 1 }
+    out
+  }
 
-    def toD(a: Seq[Float]): Array[Double] = a.map(_.toDouble).toArray
-    def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cents.length) {
-        var d = 0.0; var j = 0
-        val ct = cents(c)
-        while (j < v.length) { val x = v(j) - ct(j); d += x * x; j += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
+  /** Squared L2, fixed ascending-dim fold (oracle-parity order). */
+  private[graft] def sqDist(v: Array[Double], c: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+    d
+  }
+
+  /** Argmin centroid, ties to the LOWEST cid (== ORDER BY d, cid LIMIT 1). */
+  private[graft] def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = sqDist(v, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
     }
+    best
+  }
 
-    // deterministic seeding: the nlist vectors with smallest xxhash64(vec_id)
-    var centroids: Array[Array[Double]] = emb
-      .select($"vec_id", $"embedding")
-      .withColumn("__h", xxhash64($"vec_id"))
+  /** Deterministic oracle-rederivable coarse quantizer: the `nlist` vectors
+    * with the smallest (md5(vec_id), vec_id) become centroids 0..nlist-1 in
+    * that order. One tiny collect (nlist × dim doubles). The trained
+    * (Lloyd-refined) quantizer lives in [[IvfIndex]]; this seeding is the
+    * SQL-expressible baseline the driver gate checks.
+    */
+  def seedCentroids(emb: DataFrame, nlist: Int): Array[Array[Double]] = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id", $"embedding")
+      .withColumn("__h", md5($"vec_id".cast("string")))
       .orderBy($"__h", $"vec_id").limit(nlist)
       .select($"embedding").as[Seq[Float]].collect().map(toD)
+  }
 
-    // Lloyd: assign (broadcast centroids) -> per-dimension mean per list
-    for (_ <- 1 to lloydIters) {
-      val cb = spark.sparkContext.broadcast(centroids)
-      val assignU = udf((e: Seq[Float]) => nearest(toD(e), cb.value))
-      val means = emb
-        .withColumn("cid", assignU($"embedding"))
-        .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cid", $"pos").agg(avg($"x").as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next
-    }
-
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: centroids
+    * partition the corpus into nlist inverted lists; a query probes only
+    * its nprobe nearest lists, so the search is a key-equijoin on list id
+    * (shuffle ∝ probed lists, never the n² compare). The quantizer is an
+    * argument: [[seedCentroids]] for the deterministic oracle-checkable
+    * form, [[IvfIndex.train]] for the Lloyd-refined reusable index.
+    * Output shape matches cosineTopK.
+    */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
+              centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val cb = spark.sparkContext.broadcast(centroids)
     val assignU = udf((e: Seq[Float]) => nearest(toD(e), cb.value))
     val probeU = udf((e: Seq[Float]) => {
       val v = toD(e)
       cb.value.indices
-        .map(c => {
-          var d = 0.0; var j = 0
-          while (j < v.length) { val x = v(j) - cb.value(c)(j); d += x * x; j += 1 }
-          (c, d)
-        })
-        .sortBy(_._2).take(nprobe).map(_._1)
+        .map(c => (c, sqDist(v, cb.value(c))))
+        .sortBy(_._2).take(nprobe).map(_._1) // stable sort: ties keep low cid
     })
     val lists = emb.select($"vec_id".as("neighbor_id"), $"embedding")
       .withColumn("cid", assignU($"embedding"))
@@ -195,8 +208,19 @@ object Similarity {
 
   /** Blocked near-duplicate pairs: same-label blocking (the label is the
     * generic stand-in for any cheap blocking key), cosine above threshold.
+    * EXACT within a block, O(block²) across it — the exactness baseline.
+    * At scale use [[nearDupPairsLsh]], or pass `maxBlock` to fail fast if
+    * the blocking key is too coarse for the quadratic to be safe.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   maxBlock: Option[Long] = None): DataFrame = {
+    maxBlock.foreach { cap =>
+      val biggest = emb.groupBy(col("label")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      require(biggest <= cap,
+        s"nearDupPairs: largest block has $biggest rows > cap $cap — " +
+          "O(block²) unsafe; use nearDupPairsLsh or a finer blocking key")
+    }
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("label"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("label"))
     a.join(b, "label")
@@ -204,5 +228,25 @@ object Similarity {
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Scale-safe near-duplicate pairs: candidates come from LSH bucket
+    * collisions (ANY of nTables sign-bit tables), so the shuffle key is the
+    * bucket and no block ever goes quadratic in the full corpus. Recall < 1
+    * vs [[nearDupPairs]] by design, but the output is deterministic and
+    * oracle-checkable (md5-derived planes). Output: (id_a, id_b, cos).
+    */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double,
+                      nTables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    val exploded = lshExplode(emb, nTables, bitsPerTable, dim = 64)
+    val a = exploded.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = exploded.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      // a pair colliding in several tables appears several times: collapse
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }
