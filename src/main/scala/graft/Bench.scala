@@ -58,7 +58,9 @@ object Bench {
     * session; returns the fastest (min — standard for throughput under
     * noisy shared IO).
     */
-  private def runCrawl(cores: Int, parseIters: Long, timedRuns: Int): CrawlRun = {
+  private def runCrawl(cores: Int, parseIters: Long, timedRuns: Int,
+                       eng: CrawlDriver.EngineConfig = CrawlDriver.EngineConfig())
+  : CrawlRun = {
     val spark = newSession(cores)
     try {
       val warmWeb = SyntheticWeb.WebConfig(hosts = 64, pagesPerHost = 101,
@@ -66,12 +68,12 @@ object Bench {
       CrawlDriver.run(spark,
         CrawlConfig(SyntheticWeb.seedUrls(2000, warmWeb), 1000, 2, 5000, warmWeb,
           SyntheticWeb.robotsFixture(warmWeb)),
-        java.nio.file.Files.createTempDirectory("bench-warm").toString)
+        java.nio.file.Files.createTempDirectory("bench-warm").toString, eng)
       val cfg = benchCrawlConfig(parseIters)
       val runs = (1 to timedRuns).map { _ =>
         val root = java.nio.file.Files.createTempDirectory(s"bench-crawl-$cores").toString
         val t0 = System.nanoTime()
-        val handle = CrawlDriver.run(spark, cfg, root)
+        val handle = CrawlDriver.run(spark, cfg, root, eng)
         val secs = (System.nanoTime() - t0) / 1e9
         import org.apache.spark.sql.functions._
         val deduped = handle.store.read("metrics").agg(sum("deduped")).head().getLong(0)
@@ -80,6 +82,14 @@ object Bench {
       runs.minBy(_.secs)
     } finally spark.stop()
   }
+
+  /** The 10^10-scale engine configuration: lazy per-task filter shards
+    * (no whole-filter broadcast), merge-on-read pending, store-scanned
+    * shard-pruned seen — measured so the scale path has a number, not just
+    * green tests.
+    */
+  private val scaleModeEngine = CrawlDriver.EngineConfig(
+    filterDistribution = "lazy", pendingStorage = "mor", seenStorage = "store")
 
   /** Pure-CPU scaling ceiling of THIS box (shared turbo/memory bus): the
     * same fixed work on 8 vs 32 raw JVM threads. A real N->4N executor
@@ -135,6 +145,12 @@ object Bench {
         val r32 = runCrawl(32, parseIters, timedRuns = 2)
         require(r8.fetched == r32.fetched && r8.deduped == r32.deduped,
           s"nondeterministic crawl between parallelism levels: $r8 vs $r32")
+        // the 10^10-mode engine on the same input: output must be identical,
+        // throughput is the scale path's cost of never materializing the
+        // filter/frontier whole
+        val rScale = runCrawl(32, parseIters, timedRuns = 1, eng = scaleModeEngine)
+        require(rScale.fetched == r32.fetched && rScale.deduped == r32.deduped,
+          s"scale-mode engine diverged: $rScale vs $r32")
         val eff = (r32.urlsPerSec / r8.urlsPerSec) / 4.0
         f"""{"fetched":${r8.fetched},"deduped":${r8.deduped},""" +
           f""""secs_8":${r8.secs}%.1f,"secs_32":${r32.secs}%.1f,""" +
@@ -143,7 +159,9 @@ object Bench {
           f""""parse_iters_per_url":$parseIters,""" +
           f""""scaling_efficiency_8_to_32":$eff%.3f,""" +
           f""""hw_cpu_ceiling_8_to_32":$hwCeiling%.3f,""" +
-          f""""efficiency_vs_hw_ceiling":${eff / hwCeiling}%.3f}"""
+          f""""efficiency_vs_hw_ceiling":${eff / hwCeiling}%.3f,""" +
+          f""""urls_per_sec_32_scale_mode":${rScale.urlsPerSec}%.0f,""" +
+          f""""scale_mode_vs_broadcast":${rScale.urlsPerSec / r32.urlsPerSec}%.3f}"""
       }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +

@@ -47,15 +47,88 @@ object CrawlDriver {
       /** salt fan applied to every host before the parse stage */
       saltFanout: Int = 64,
       seenFilter: String = "bloom",
+      /** "broadcast": the merged sharded filter is one driver broadcast —
+        * right at sandbox scale. "lazy": the filter NEVER exists as one
+        * object; shard files are written distributed next to the snapshot
+        * store and probe tasks lazily load only the shards their rows
+        * touch (FilterShardStore) — the 10^10-scale path where the merged
+        * filter (~12 GB, DESIGN.md) cannot be broadcast. */
+      filterDistribution: String = "broadcast",
+      /** lazy mode: compact base+deltas into a new base generation once
+        * this many per-wave delta files accumulate. */
+      compactFiltersEvery: Int = 8,
       /** "cached": seen-set anti-joins run against in-memory slices (right
         * at sandbox scale). "store": every wave scans the snapshot store's
         * shard-clustered seen files with a shard IN-filter pushed to
         * parquet — the 10^10-scale path where seen cannot be cached and
         * the scan must prune to the shards the bloom-maybe rows touch. */
       seenStorage: String = "cached",
+      /** cached mode: collapse the per-wave seen-slice union back onto ONE
+        * store read once it grows past this many slices — bounds anti-join
+        * plan width and executor cache footprint on long crawls. */
+      rerootSeenEvery: Int = 8,
+      /** "cow": the pending frontier is rewritten whole per wave (fine at
+        * sandbox scale; simplest layout). "mor": merge-on-read — per wave
+        * only a (deleted=selected, added=admitted) delta appends, and the
+        * base is rewritten only when the delta chain passes
+        * compactPendingEvery. At P=10^9 pending rows a wave touches ~10^4
+        * of them: COW is a full-table write per wave, MOR is delta-sized. */
+      pendingStorage: String = "cow",
+      compactPendingEvery: Int = 8,
       verbose: Boolean = false)
 
-  case class RunHandle(store: SnapshotStore, wavesRun: Int, fetchedTotal: Long)
+  case class RunHandle(store: SnapshotStore, wavesRun: Int, fetchedTotal: Long,
+                       /** driver-side whole-filter broadcasts created — 0 in
+                         * lazy filter distribution (asserted in tests). */
+                       filterBroadcasts: Int = 0,
+                       /** widest the cached seen-slice union ever got —
+                         * bounded by rerootSeenEvery+1 (asserted in tests). */
+                       maxSeenSlices: Int = 0)
+
+  /** Result of a wave's async filter maintenance. */
+  private sealed trait FilterUpdate
+  private case class NewBroadcast(f: ShardedSeenFilter) extends FilterUpdate
+  private case class NewGen(gen: graft.sources.FilterGen) extends FilterUpdate
+
+  // ---- merge-on-read pending layout ---------------------------------------
+  private val PendingBase = "pending_base"
+  private val PendingDelta = "pending_delta"
+
+  private def frontierSchema =
+    org.apache.spark.sql.Encoders.product[FrontierEntry].schema
+
+  private def pendingDeltaSchema: org.apache.spark.sql.types.StructType =
+    frontierSchema
+      .add("op", org.apache.spark.sql.types.StringType)
+      .add("w", org.apache.spark.sql.types.IntegerType)
+
+  private def emptyDelta(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pendingDeltaSchema)
+
+  /** Current pending frontier regardless of layout: plain read in COW mode;
+    * in MOR mode merge base + deltas — per URL the row with the highest
+    * wave wins (a URL is added once and deleted once when selected, so the
+    * op sequence per URL is total-ordered by wave), survivors are `add`s.
+    */
+  def readPending(spark: SparkSession, store: SnapshotStore): DataFrame = {
+    import spark.implicits._
+    val m = store.currentManifest.getOrElse(
+      throw new IllegalStateException(s"no snapshot at ${store.root}"))
+    if (!m.tables.contains(PendingBase)) store.read("pending")
+    else {
+      val base = store.read(PendingBase)
+        .withColumn("op", lit("add")).withColumn("w", lit(0))
+      base.unionByName(store.read(PendingDelta))
+        .groupBy($"canonical_url")
+        .agg(max(struct($"w", $"op", $"host", $"host_hash", $"priority",
+          $"discovery_time", $"depth")).as("f"))
+        .filter($"f.op" === "add")
+        .select($"canonical_url", $"f.host".as("host"),
+          $"f.host_hash".as("host_hash"), $"f.priority".as("priority"),
+          $"f.discovery_time".as("discovery_time"), $"f.depth".as("depth"))
+    }
+  }
 
   /** Deterministic global 0-based rank by `order` columns: two-phase
     * range-partition + per-partition offset (SURVEY.md §2.5 Q4) — avoids a
@@ -138,8 +211,12 @@ object CrawlDriver {
     val seen0 = seedDf.select($"canonical_url", $"host_hash")
       .withColumn("shard", pmod($"host_hash", lit(eng.bloomShards.toLong)).cast("int"))
 
-    store.beginCommit()
-      .replace("pending", pending0.toDF())
+    val wave0 = store.beginCommit()
+    if (eng.pendingStorage == "mor")
+      wave0.replace(PendingBase, pending0.toDF())
+        .declare(PendingDelta, pendingDeltaSchema)
+    else wave0.replace("pending", pending0.toDF())
+    wave0
       .append("seen", seen0.repartition(col("shard")).sortWithinPartitions("shard"))
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
       .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
@@ -207,16 +284,49 @@ object CrawlDriver {
       case other => other
     }
     val useFilter = eng.seenFilter != "none"
-    val filter0: ShardedSeenFilter =
-      if (!useFilter) AlwaysMaybe
+    val lazyFilters = useFilter && eng.filterDistribution == "lazy"
+    var filterBroadcasts = 0
+
+    // lazy mode: per-shard filter files in shared storage next to the
+    // snapshot store; the merged filter never exists as one object.
+    val shardStore: Option[graft.sources.FilterShardStore] =
+      if (!lazyFilters) None
       else {
-        val rows = store.read("seen")
-          .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
-          .groupBy($"__shard").agg(buildShardAgg().as("bits"))
-          .collect()
-        mergeShards(emptyFilter(), rows)
+        val (bb, bh, cb) = eng.seenFilter match {
+          case "bloom" =>
+            val p = BloomShard.sized(eng.bloomItemsPerShard, eng.bloomFpp)
+            (p.bits.length, p.numHashes, 0)
+          case _ =>
+            val p = CuckooFilter.sized(eng.bloomItemsPerShard)
+            (0, 0, p.numBucketsPow2)
+        }
+        Some(new graft.sources.FilterShardStore(s"${store.root}/filters", nsh,
+          eng.seenFilter, bb, bh, cb))
       }
-    var bloomB = spark.sparkContext.broadcast(filter0)
+    var filterGen: graft.sources.FilterGen = null
+    if (lazyFilters) {
+      // fresh base generation rebuilt DISTRIBUTED from the committed seen
+      // table (run start or resume): each task writes the shards its
+      // partition holds — zero filter bytes on the driver
+      val ss = shardStore.get
+      val v = ss.nextBaseVersion()
+      ss.writeShardFiles(store.read("seen"), ss.baseDir(v))
+      filterGen = graft.sources.FilterGen(v, Vector.empty)
+    }
+    var bloomB: org.apache.spark.broadcast.Broadcast[ShardedSeenFilter] = null
+    if (!lazyFilters) {
+      val filter0: ShardedSeenFilter =
+        if (!useFilter) AlwaysMaybe
+        else {
+          val rows = store.read("seen")
+            .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
+            .groupBy($"__shard").agg(buildShardAgg().as("bits"))
+            .collect()
+          mergeShards(emptyFilter(), rows)
+        }
+      bloomB = spark.sparkContext.broadcast(filter0)
+      filterBroadcasts += 1
+    }
 
     val m = store.currentManifest.get
     var wave = m.summary("wave").toInt + 1
@@ -227,25 +337,32 @@ object CrawlDriver {
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
     // store is the durable/resume copy, written asynchronously off the
     // critical path): `pendingDF` is the live frontier plan; `seenSlices`
-    // is the seen-set as a union of per-wave cached slices (the base slice
-    // is the store's seen table — on a 10^10-URL frontier that base stays
-    // on disk and only the bloom probe keeps the anti-join cheap; slices
-    // would be re-rooted onto the store periodically on a long crawl).
-    var pendingDF: DataFrame = store.read("pending")
+    // is the seen-set as a union of per-wave cached slices, collapsed back
+    // onto ONE store read every rerootSeenEvery waves so a long crawl's
+    // anti-join plan width and cache footprint stay bounded. Store mode
+    // reads seen from shard-pruned parquet instead and keeps no slices.
+    val cachedSeen = eng.seenStorage == "cached"
+    var pendingDF: DataFrame = readPending(spark, store)
     var seenSlices: Vector[DataFrame] =
-      Vector(store.read("seen").select($"canonical_url", $"host_hash").cache())
-    // commit of wave k-1 + its bloom delta, in flight while wave k computes
-    var inFlight: scala.concurrent.Future[Option[ShardedSeenFilter]] =
+      if (cachedSeen)
+        Vector(store.read("seen").select($"canonical_url", $"host_hash").cache())
+      else Vector.empty
+    var maxSeenSlices = seenSlices.size
+    // commit of wave k-1 + its filter delta, in flight while wave k computes
+    var inFlight: scala.concurrent.Future[Option[FilterUpdate]] =
       scala.concurrent.Future.successful(None)
     var prevWaveCaches: List[DataFrame] = Nil
 
     def awaitInFlight(): Unit = {
       scala.concurrent.Await
         .result(inFlight, scala.concurrent.duration.Duration.Inf)
-        .foreach { merged =>
-          val old = bloomB
-          bloomB = spark.sparkContext.broadcast(merged)
-          old.destroy()
+        .foreach {
+          case NewBroadcast(merged) =>
+            val old = bloomB
+            bloomB = spark.sparkContext.broadcast(merged)
+            filterBroadcasts += 1
+            old.destroy()
+          case NewGen(g) => filterGen = g
         }
       inFlight = scala.concurrent.Future.successful(None)
       prevWaveCaches.foreach(_.unpersist())
@@ -358,13 +475,29 @@ object CrawlDriver {
           .select($"canonical_url", $"f.host".as("host"), $"f.host_hash".as("host_hash"),
             $"f.depth".as("depth"), $"f.trace_seq".as("trace_seq"), $"f.link_idx".as("link_idx"))
 
-        // ---- D3: broadcast bloom pre-filter (executor-local, no shuffle of seen)
-        val bloomLocal = bloomB
-        val mightBeSeen = udf((url: String, hh: Long) => bloomLocal.value.mightContain(url, hh))
+        // ---- D3: bloom/cuckoo pre-filter. broadcast mode: executor-local
+        // probe of the broadcast filter (no shuffle of seen). lazy mode:
+        // rows are repartitioned BY SHARD so each task touches ~1 shard,
+        // then the probe lazily loads exactly those shard files through the
+        // per-executor generation-keyed cache — membership tests never move
+        // the seen-set OR the whole filter (north_star at 10^10 scale).
         val tagged =
-          if (useFilter)
+          if (!useFilter) firstSeen.withColumn("__maybe", lit(true)).cache()
+          else if (lazyFilters) {
+            val ss = shardStore.get
+            val gen = filterGen
+            val probeU = udf((url: String, hh: Long) =>
+              graft.sources.FilterShardStore.probe(ss, gen, url, hh))
+            firstSeen
+              .repartition(math.max(1, spark.sessionState.conf.numShufflePartitions),
+                pmod($"host_hash", lit(nsh.toLong)))
+              .withColumn("__maybe", probeU($"canonical_url", $"host_hash")).cache()
+          } else {
+            val bloomLocal = bloomB
+            val mightBeSeen =
+              udf((url: String, hh: Long) => bloomLocal.value.mightContain(url, hh))
             firstSeen.withColumn("__maybe", mightBeSeen($"canonical_url", $"host_hash")).cache()
-          else firstSeen.withColumn("__maybe", lit(true)).cache()
+          }
         val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe")
         val maybeSeen = tagged.filter($"__maybe").drop("__maybe")
 
@@ -446,7 +579,25 @@ object CrawlDriver {
         nextSeq += discovered
         fetchedTotal += fetchedThisWave
         val commitBuilder = store.beginCommit()
-          .replace("pending", newPending)
+        if (eng.pendingStorage == "mor") {
+          // merge-on-read: append only this wave's (del=selected, add=
+          // admitted) delta — delta-sized IO instead of a full frontier
+          // rewrite; compact base+deltas once the chain passes the threshold
+          val deltaDirs = store.currentManifest.get
+            .tables.get(PendingDelta).map(_.dataDirs.size).getOrElse(0)
+          if (deltaDirs + 1 >= eng.compactPendingEvery) {
+            commitBuilder.replace(PendingBase, newPending)
+              .replace(PendingDelta, emptyDelta(spark))
+          } else {
+            val fcols = frontierSchema.fieldNames.map(col).toSeq
+            val delRows = selected.select(fcols: _*)
+              .withColumn("op", lit("del")).withColumn("w", lit(wave))
+            val addRows = admitted.toDF()
+              .withColumn("op", lit("add")).withColumn("w", lit(wave))
+            commitBuilder.append(PendingDelta, delRows.unionByName(addRows))
+          }
+        } else commitBuilder.replace("pending", newPending)
+        commitBuilder
           .append("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
           .append("trace", wTrace.toDF())
           .append("docs", wDocs.toDF())
@@ -460,26 +611,51 @@ object CrawlDriver {
             "wave_denied" -> denied.toString)
         val doDelta = useFilter && discovered > 0
         val filterNow = bloomB
+        val genNow = filterGen
+        val waveNow = wave
         inFlight = {
           import scala.concurrent.ExecutionContext.Implicits.global
           scala.concurrent.Future {
-            val deltaFut =
-              if (doDelta) scala.concurrent.Future {
+            val deltaFut: scala.concurrent.Future[Option[FilterUpdate]] =
+              if (!doDelta) scala.concurrent.Future.successful(None)
+              else if (lazyFilters) scala.concurrent.Future {
+                // distributed delta write (+ distributed compaction once the
+                // delta chain passes the threshold); the driver only tracks
+                // the generation descriptor, never the bytes
+                val ss = shardStore.get
+                ss.writeShardFiles(newSeen, ss.deltaDir(waveNow))
+                val g2 = genNow.copy(deltaWaves = genNow.deltaWaves :+ waveNow)
+                val g3 =
+                  if (g2.deltaWaves.size >= eng.compactFiltersEvery) ss.compact(spark, g2)
+                  else g2
+                Some(NewGen(g3)): Option[FilterUpdate]
+              } else scala.concurrent.Future {
                 val shardRows = newSeen
                   .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
                   .groupBy($"__shard").agg(buildShardAgg().as("bits"))
                   .collect()
-                Some(mergeShards(filterNow.value, shardRows))
-              } else scala.concurrent.Future.successful(Option.empty[ShardedSeenFilter])
+                Some(NewBroadcast(mergeShards(filterNow.value, shardRows))): Option[FilterUpdate]
+              }
             commitBuilder.commit()
             scala.concurrent.Await.result(deltaFut,
               scala.concurrent.duration.Duration.Inf)
           }
         }
         carriedPendingCount = Some(deferredCount + (discovered - denied))
-        seenSlices :+= newSeen
         pendingDF = newPending
         prevWaveCaches = List(ranked.toDF(), selected, parsed, tagged, withRobots)
+        if (cachedSeen) {
+          seenSlices :+= newSeen
+          maxSeenSlices = math.max(maxSeenSlices, seenSlices.size)
+          if (seenSlices.size > eng.rerootSeenEvery) {
+            // re-root: the in-flight commit carries this wave's seen append,
+            // so after the await the store's seen table == the slice union
+            awaitInFlight()
+            seenSlices.foreach(_.unpersist())
+            seenSlices =
+              Vector(store.read("seen").select($"canonical_url", $"host_hash").cache())
+          }
+        }
         if (eng.verbose) {
           val ms = (System.nanoTime() - waveT0) / 1e6
           val commitMs = (System.nanoTime() - tCommit0) / 1e6
@@ -492,9 +668,11 @@ object CrawlDriver {
       }
     }
     // long-crawl hygiene: drop the in-memory seen slices (state re-roots
-    // from the store on resume)
+    // from the store on resume) and reclaim superseded filter generations
     seenSlices.foreach(_.unpersist())
-    RunHandle(store, wavesRun, fetchedTotal)
+    if (lazyFilters)
+      shardStore.get.cleanupBelow(filterGen.baseVersion, filterGen.deltaWaves.toSet)
+    RunHandle(store, wavesRun, fetchedTotal, filterBroadcasts, maxSeenSlices)
   }
 
   /** Expire URLs — the deletion-safe-dedup flow the cuckoo variant exists
@@ -518,11 +696,14 @@ object CrawlDriver {
     val newSeen = store.read("seen").filter(!$"canonical_url".isin(targets: _*))
     // maintain the pending ⊆ seen invariant: a forgotten URL must not keep
     // a pending entry, or its rediscovery would double-admit it
-    val newPending = store.read("pending").filter(!$"canonical_url".isin(targets: _*))
-    store.beginCommit()
+    val newPending = readPending(spark, store).filter(!$"canonical_url".isin(targets: _*))
+    val c = store.beginCommit()
       .replace("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
-      .replace("pending", newPending)
-      .summary(m.summary.toSeq: _*)
+    // expiry rewrites the frontier either way → it is a compaction point
+    if (m.tables.contains(PendingBase))
+      c.replace(PendingBase, newPending).replace(PendingDelta, emptyDelta(spark))
+    else c.replace("pending", newPending)
+    c.summary(m.summary.toSeq: _*)
       .summary("expired" -> targets.size.toString)
       .commit()
     nBefore - store.read("seen").count()

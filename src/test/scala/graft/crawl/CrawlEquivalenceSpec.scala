@@ -87,6 +87,76 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("LAZY filter distribution == oracle, with ZERO whole-filter broadcasts " +
+    "(bloom + cuckoo, incl. mid-run distributed compaction)") {
+    val cfg = mkCfg(nSeeds = 16, budget = 2, hosts = 4, pages = 20)
+    val (oracleRes, _) = new RefCrawler(cfg).run()
+    val engines = Seq(
+      CrawlDriver.EngineConfig(filterDistribution = "lazy"),
+      CrawlDriver.EngineConfig(filterDistribution = "lazy", seenFilter = "cuckoo"),
+      // compactFiltersEvery=2 forces several compaction generations mid-run
+      CrawlDriver.EngineConfig(filterDistribution = "lazy", compactFiltersEvery = 2,
+        bloomShards = 4),
+      // lazy probe + store-scanned seen: the full 10^10 configuration where
+      // neither the filter nor the seen-set is ever driver- or cache-resident
+      CrawlDriver.EngineConfig(filterDistribution = "lazy", seenStorage = "store"))
+    engines.foreach { eng =>
+      val loads0 = graft.sources.FilterShardStore.shardLoads.get()
+      val root = tmp()
+      val handle = CrawlDriver.run(spark, cfg, root, eng)
+      assertEqualResults(oracleRes, CrawlDriver.result(spark, root))
+      assert(handle.filterBroadcasts === 0,
+        s"lazy mode must never broadcast the whole filter ($eng)")
+      assert(graft.sources.FilterShardStore.shardLoads.get() > loads0,
+        s"no shard files were lazily loaded — probe not exercised ($eng)")
+    }
+  }
+
+  test("lazy filter: resume rebuilds a fresh base generation distributed and " +
+    "equals the uninterrupted run") {
+    val cfg = mkCfg(nSeeds = 24, budget = 2)
+    val (oracleRes, _) = new RefCrawler(cfg).run()
+    val root = tmp()
+    val eng = CrawlDriver.EngineConfig(filterDistribution = "lazy")
+    CrawlDriver.run(spark, cfg.copy(maxWaves = 3), root, eng)
+    val h = CrawlDriver.resume(spark, cfg, root, eng)
+    assert(h.filterBroadcasts === 0)
+    assertEqualResults(oracleRes, CrawlDriver.result(spark, root))
+  }
+
+  test("long crawl: seen slices re-root onto the store, plan width stays " +
+    "bounded, output == oracle (20+ waves)") {
+    val cfg = mkCfg(nSeeds = 4, budget = 1, hosts = 4, pages = 30)
+    val (oracleRes, _) = new RefCrawler(cfg).run()
+    val root = tmp()
+    val h = CrawlDriver.run(spark, cfg, root,
+      CrawlDriver.EngineConfig(rerootSeenEvery = 3))
+    assert(h.wavesRun >= 20, s"fixture too small: ${h.wavesRun} waves")
+    assert(h.maxSeenSlices <= 4,
+      s"slice union grew to ${h.maxSeenSlices} — re-rooting not engaged")
+    assertEqualResults(oracleRes, CrawlDriver.result(spark, root))
+  }
+
+  test("merge-on-read pending == oracle; delta chain compacts; resume merges") {
+    val cfg = mkCfg(nSeeds = 24, budget = 2)
+    val (oracleRes, _) = new RefCrawler(cfg).run()
+    // full run in MOR mode with a tight compaction threshold
+    val eng = CrawlDriver.EngineConfig(pendingStorage = "mor", compactPendingEvery = 3)
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root, eng)
+    assertEqualResults(oracleRes, CrawlDriver.result(spark, root))
+    val store = new graft.sources.SnapshotStore(root, spark)
+    val m = store.currentManifest.get
+    assert(m.tables.contains("pending_base") && m.tables.contains("pending_delta"))
+    assert(m.tables("pending_delta").dataDirs.size < 3,
+      s"delta chain never compacted: ${m.tables("pending_delta").dataDirs}")
+    // resume path exercises the merge-on-read reconstruction
+    val root2 = tmp()
+    CrawlDriver.run(spark, cfg.copy(maxWaves = 2), root2, eng)
+    CrawlDriver.resume(spark, cfg, root2, eng)
+    assertEqualResults(oracleRes, CrawlDriver.result(spark, root2))
+  }
+
   test("store-mode seen: shard IN-filter is pushed to the parquet scan") {
     import org.apache.spark.sql.functions._
     val cfg = mkCfg(nSeeds = 16, budget = 2, hosts = 4, pages = 20)

@@ -52,6 +52,29 @@ class ExpireAndCompactSpec extends AnyFunSuite {
     assert(others.distinct.size === others.size)
   }
 
+  test("expire works on a merge-on-read frontier (rewrites as a compaction point)") {
+    val root = Files.createTempDirectory("expire-mor").toString
+    val c = cfg(maxWaves = 3)
+    val eng = CrawlDriver.EngineConfig(pendingStorage = "mor", compactPendingEvery = 100)
+    CrawlDriver.run(spark, c, root, eng)
+    val store = new SnapshotStore(root, spark)
+    import spark.implicits._
+    val victim = store.read("seen").select($"canonical_url")
+      .orderBy($"canonical_url").head.getString(0)
+    val pendingBefore = CrawlDriver.readPending(spark, store).count()
+    val removed = CrawlDriver.expire(spark, root, Seq(victim))
+    assert(removed === 1L)
+    // frontier still readable post-expire; deltas compacted away
+    val m = store.currentManifest.get
+    assert(m.tables("pending_delta").dataDirs.isEmpty ||
+      store.read("pending_delta").count() === 0)
+    assert(CrawlDriver.readPending(spark, store).count() <= pendingBefore)
+    assert(store.read("seen").filter($"canonical_url" === victim).count() === 0)
+    // crawl continues fine in MOR mode after the expiry commit
+    CrawlDriver.resume(spark, c.copy(maxWaves = 5), root, eng)
+    assert(CrawlDriver.result(spark, root).trace.nonEmpty)
+  }
+
   test("expireSnapshots keeps the current state readable, drops stale COW dirs") {
     val root = Files.createTempDirectory("gc").toString
     CrawlDriver.run(spark, cfg(), root)
