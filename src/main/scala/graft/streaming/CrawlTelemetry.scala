@@ -43,4 +43,51 @@ object CrawlTelemetry {
           (host, total)
       }
   }
+
+  /** In-progress per-host session state. */
+  case class SessionState(start: Long, last: Long, fetches: Long, bytes: Long)
+
+  /** A closed fetch session: a burst of fetches against one host with no
+    * gap longer than the session gap.
+    */
+  case class HostSession(host: String, start: java.sql.Timestamp,
+                         end: java.sql.Timestamp, fetches: Long, bytes: Long)
+
+  /** Per-host fetch sessionization — flatMapGroupsWithState with an
+    * EVENT-TIME timeout: a host's session closes (and emits exactly one
+    * row) once the watermark passes last-event + gap. The canonical
+    * arbitrary-stateful-streaming shape: state evolves per key across
+    * micro-batches and emission is decoupled from input (0 rows while a
+    * session is open, 1 when it dies).
+    */
+  def hostSessions(events: Dataset[FetchEvent],
+                   gapSeconds: Long = 30L,
+                   watermark: String = "30 seconds"): Dataset[HostSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (host: String, batch: Iterator[FetchEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(HostSession(host, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.fetches, s.bytes))
+          } else {
+            var s = state.getOption.getOrElse(
+              SessionState(Long.MaxValue, Long.MinValue, 0L, 0L))
+            batch.foreach { e =>
+              val t = e.ts.getTime
+              s = SessionState(math.min(s.start, t), math.max(s.last, t),
+                s.fetches + 1, s.bytes + e.bytes)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + gapSeconds * 1000L)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -4,20 +4,25 @@ import graft.crawl.{CrawlConfig, CrawlDriver, SyntheticWeb}
 import org.apache.spark.sql.SparkSession
 
 /** Profiling surface for the wave loop at a given core count:
-  *   sbt "runMain graft.tools.CrawlProfile <cores> <parseIters> [maxUrls]"
+  *   sbt "runMain graft.tools.CrawlProfile <cores> <parseIters> [maxUrls] [k=v ...]"
+  * trailing k=v pairs become spark confs (e.g. spark.sql.adaptive.enabled=false)
   */
 object CrawlProfile {
   def main(args: Array[String]): Unit = {
     val cores = if (args.length > 0) args(0).toInt else 8
     val parseIters = if (args.length > 1) args(1).toLong else 3000000L
     val maxUrls = if (args.length > 2) args(2).toLong else 60000L
-    val spark = SparkSession.builder()
+    val extra = args.drop(3).filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"crawl-profile-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val web = SyntheticWeb.WebConfig(hosts = 64, pagesPerHost = 2001,
       parseWorkIters = parseIters)

