@@ -202,6 +202,24 @@ object SparkEntry {
             (acc, x) => acc + x).cast("double") / size(col("ts")), 6)
             .as("avg_token_len"))
     }),
+    // ---- text analysis: quality ratios (punctuation + stopword density —
+    // the classic low-quality-document signals)
+    "q_quality_ratios" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "alpha", "echo")
+      T(s, dir, "documents")
+        .withColumn("ts", toks(col("text")))
+        .select(col("doc_id"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+            .cast("long").as("n_punct"),
+          round((length(col("text")) -
+            length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+            .cast("double") / greatest(length(col("text")), lit(1)), 6)
+            .as("punct_ratio"),
+          size(filter(col("ts"), t => t.isin(stop: _*))).cast("long").as("n_stop"),
+          round(size(filter(col("ts"), t => t.isin(stop: _*))).cast("double")
+            / greatest(size(col("ts")), lit(1)), 6).as("stopword_ratio"))
+    }),
     // ---- text analysis: marker-based language/category ID
     "q_lang_id" -> ((s, dir) => {
       val d = T(s, dir, "documents")
@@ -409,6 +427,20 @@ object SparkEntry {
          |  round(list_sum(list_transform(ts, t -> length(t)))::DOUBLE / len(ts), 6)
          |    AS avg_token_len
          |FROM t0""".stripMargin,
+    "q_quality_ratios" -> {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "alpha", "echo")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t0 AS (SELECT doc_id, text, $SqlToks AS ts FROM documents)
+         |SELECT doc_id,
+         |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::BIGINT
+         |    AS n_punct,
+         |  round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+         |    / greatest(length(text), 1), 6) AS punct_ratio,
+         |  len(list_filter(ts, t -> t IN ($stop)))::BIGINT AS n_stop,
+         |  round(len(list_filter(ts, t -> t IN ($stop)))::DOUBLE
+         |    / greatest(len(ts), 1), 6) AS stopword_ratio
+         |FROM t0""".stripMargin
+    },
     "q_lang_id" -> {
       def score(ws: Seq[String]) = ws.map(w =>
         s"(CASE WHEN position(' $w ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)")

@@ -85,6 +85,18 @@ object CrawlDriver {
                          * bounded by rerootSeenEvery+1 (asserted in tests). */
                        maxSeenSlices: Int = 0)
 
+  /** run()-path a-priori initial state: hints + the deferred wave-0 commit
+    * (committed asynchronously on the inFlight rail, awaited before the
+    * first probe / wave-1 commit exactly like any other wave's commit).
+    */
+  private case class FastStart(
+      pending: DataFrame,
+      seen0: DataFrame,
+      filter: Option[ShardedSeenFilter],
+      nextSeq: Long,
+      pendingCount: Long,
+      wave0Commit: SnapshotStore#Commit)
+
   /** Result of a wave's async filter maintenance. */
   private sealed trait FilterUpdate
   private case class NewBroadcast(f: ShardedSeenFilter) extends FilterUpdate
@@ -226,12 +238,13 @@ object CrawlDriver {
         "admitted" -> seedRows.size.toString,
         "next_discovery_seq" -> seedRows.size.toString,
         "fetched_total" -> "0")
-      .commit()
 
     // run()-path fast start: the seeds are driver-resident operator input
-    // (true at any scale — they arrived in cfg), so the initial filter can
-    // be built in-process and the frontier passed as a plan hint, skipping
-    // the store read-back + shard-aggregation jobs that resume() needs.
+    // (true at any scale — they arrived in cfg), so the initial state is
+    // known a priori: the filter builds in-process, the frontier/seen pass
+    // as plan hints, and the wave-0 commit itself rides the async inFlight
+    // rail, overlapping with wave 1's selection + fetch instead of
+    // serializing ahead of it. resume() pays the store read-back instead.
     val initFilter: Option[ShardedSeenFilter] =
       if (eng.seenFilter == "none" || eng.filterDistribution == "lazy") None
       else {
@@ -248,8 +261,13 @@ object CrawlDriver {
         }
         Some(f)
       }
-    loop(spark, cfg, store, eng, robotsB,
-      initPending = Some(pending0.toDF()), initFilter = initFilter)
+    loop(spark, cfg, store, eng, robotsB, fast = Some(FastStart(
+      pending = pending0.toDF(),
+      seen0 = seen0,
+      filter = initFilter,
+      nextSeq = seedRows.size.toLong,
+      pendingCount = seedRows.count(_._7).toLong,
+      wave0Commit = wave0)))
   }
 
   /** Resume from the CURRENT snapshot of an existing store. */
@@ -265,8 +283,7 @@ object CrawlDriver {
   private def loop(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore,
                    eng: EngineConfig,
                    robotsB: org.apache.spark.broadcast.Broadcast[Seq[RobotsRule]],
-                   initPending: Option[DataFrame] = None,
-                   initFilter: Option[ShardedSeenFilter] = None): RunHandle = {
+                   fast: Option[FastStart] = None): RunHandle = {
     import spark.implicits._
 
     val fetcher = cfg.fetcher
@@ -328,19 +345,20 @@ object CrawlDriver {
       }
     var filterGen: graft.sources.FilterGen = null
     if (lazyFilters) {
-      // fresh base generation rebuilt DISTRIBUTED from the committed seen
-      // table (run start or resume): each task writes the shards its
-      // partition holds — zero filter bytes on the driver
+      // fresh base generation rebuilt DISTRIBUTED from the seed hint (fast
+      // start) or the committed seen table (resume): each task writes the
+      // shards its partition holds — zero filter bytes on the driver
       val ss = shardStore.get
       val v = ss.nextBaseVersion()
-      ss.writeShardFiles(store.read("seen"), ss.baseDir(v))
+      val src = fast.map(_.seen0).getOrElse(store.read("seen"))
+      ss.writeShardFiles(src, ss.baseDir(v))
       filterGen = graft.sources.FilterGen(v, Vector.empty)
     }
     var bloomB: org.apache.spark.broadcast.Broadcast[ShardedSeenFilter] = null
     if (!lazyFilters) {
       val filter0: ShardedSeenFilter =
         if (!useFilter) AlwaysMaybe
-        else initFilter.getOrElse {
+        else fast.flatMap(_.filter).getOrElse {
           val rows = store.read("seen")
             .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
             .groupBy($"__shard").agg(buildShardAgg().as("bits"))
@@ -351,10 +369,22 @@ object CrawlDriver {
       filterBroadcasts += 1
     }
 
-    val m = store.currentManifest.get
-    var wave = m.summary("wave").toInt + 1
-    var nextSeq = m.summary("next_discovery_seq").toLong
-    var fetchedTotal = m.summary("fetched_total").toLong
+    // Initial loop state: a priori on the fast-start path (the wave-0
+    // commit is still in flight), from the CURRENT manifest on resume.
+    var wave = 1
+    var nextSeq = 0L
+    var fetchedTotal = 0L
+    var carriedPendingCount: Option[Long] = None
+    fast match {
+      case Some(f) =>
+        nextSeq = f.nextSeq
+        carriedPendingCount = Some(f.pendingCount)
+      case None =>
+        val m = store.currentManifest.get
+        wave = m.summary("wave").toInt + 1
+        nextSeq = m.summary("next_discovery_seq").toLong
+        fetchedTotal = m.summary("fetched_total").toLong
+    }
     var wavesRun = 0
 
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
@@ -365,15 +395,22 @@ object CrawlDriver {
     // anti-join plan width and cache footprint stay bounded. Store mode
     // reads seen from shard-pruned parquet instead and keeps no slices.
     val cachedSeen = eng.seenStorage == "cached"
-    var pendingDF: DataFrame = initPending.getOrElse(readPending(spark, store))
+    var pendingDF: DataFrame = fast.map(_.pending).getOrElse(readPending(spark, store))
     var seenSlices: Vector[DataFrame] =
-      if (cachedSeen)
-        Vector(store.read("seen").select($"canonical_url", $"host_hash").cache())
-      else Vector.empty
+      if (cachedSeen) {
+        val base = fast.map(_.seen0).getOrElse(store.read("seen"))
+        Vector(base.select($"canonical_url", $"host_hash").cache())
+      } else Vector.empty
     var maxSeenSlices = seenSlices.size
-    // commit of wave k-1 + its filter delta, in flight while wave k computes
-    var inFlight: scala.concurrent.Future[Option[FilterUpdate]] =
-      scala.concurrent.Future.successful(None)
+    // commit of wave k-1 + its filter delta, in flight while wave k
+    // computes; on the fast-start path the WAVE-0 commit itself rides this
+    // rail, overlapped with wave 1's selection and fetch
+    var inFlight: scala.concurrent.Future[Option[FilterUpdate]] = fast match {
+      case Some(f) =>
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Future { f.wave0Commit.commit(); None }
+      case None => scala.concurrent.Future.successful(None)
+    }
     var prevWaveCaches: List[DataFrame] = Nil
 
     def awaitInFlight(): Unit = {
@@ -393,7 +430,6 @@ object CrawlDriver {
     }
 
     var done = false
-    var carriedPendingCount: Option[Long] = None
     while (!done) {
       val pending = pendingDF.as[FrontierEntry]
       // the new pending count is derivable from the previous wave's
