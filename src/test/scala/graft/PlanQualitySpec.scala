@@ -63,4 +63,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"query side not broadcast:\n$plan")
   }
+
+  test("approximate ANN + near-dup are KEY equijoins, never cartesian") {
+    for (q <- Seq("q_ann_lsh", "q_ann_ivf", "q_embedding_neardup_lsh")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q degenerated to a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a nested-loop join:\n$plan")
+      assert(plan.contains("bucket") || plan.contains("cid"),
+        s"$q does not join on the bucket/list key:\n$plan")
+    }
+  }
+
+  test("jaccard joins candidate pairs to shingle SETS (no exploded-shingle blowup)") {
+    val plan = planOf("q_jaccard")
+    assert(plan.contains("array_intersect"),
+      s"jaccard no longer per-pair set intersection:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
