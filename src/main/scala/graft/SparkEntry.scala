@@ -220,6 +220,29 @@ object SparkEntry {
           round(size(filter(col("ts"), t => t.isin(stop: _*))).cast("double")
             / greatest(size(col("ts")), lit(1)), 6).as("stopword_ratio"))
     }),
+    // ---- text analysis: character-n-gram language/category ID (the
+    // n-gram-profile heuristic: score = |doc trigram set ∩ profile set|)
+    "q_lang_ngram" -> ((s, dir) => {
+      def profile(words: Seq[String]): Seq[String] = words.flatMap { w =>
+        (0 to w.length - 3).map(i => w.substring(i, i + 3))
+      }.distinct.sorted
+      val p1 = profile(Seq("join", "scan", "merge"))
+      val p2 = profile(Seq("filter", "sort", "window"))
+      val p3 = profile(Seq("stream", "batch", "query"))
+      val lowered = lower(col("text"))
+      val grams = when(length(lowered) >= 3,
+        array_distinct(transform(sequence(lit(1), length(lowered) - 2),
+          j => lowered.substr(j, lit(3))))).otherwise(array().cast("array<string>"))
+      def score(p: Seq[String]) =
+        size(array_intersect(grams, array(p.map(lit): _*))).cast("int")
+      T(s, dir, "documents")
+        .withColumn("score_g1", score(p1))
+        .withColumn("score_g2", score(p2))
+        .withColumn("score_g3", score(p3))
+        .withColumn("pred", TextOps.argmaxLabel(Seq(
+          "g1" -> col("score_g1"), "g2" -> col("score_g2"), "g3" -> col("score_g3"))))
+        .select(col("doc_id"), col("score_g1"), col("score_g2"), col("score_g3"), col("pred"))
+    }),
     // ---- text analysis: marker-based language/category ID
     "q_lang_id" -> ((s, dir) => {
       val d = T(s, dir, "documents")
@@ -303,6 +326,18 @@ object SparkEntry {
         (lit(64) + pmod(octet_length(col("payload")).cast("long"), lit(448L))).as("width"),
         (lit(64) + pmod(octet_length(col("payload")).cast("long") * 7, lit(448L))).as("height"),
         (lit(1) + pmod(octet_length(col("payload")).cast("long"), lit(15L))).as("n_frames"))
+    }),
+    // ---- multimodal frame sampling: every 4th frame of each payload
+    // (explode-with-step fan-out; metadata-derived frame count as in
+    // q_multimodal_meta — the xxhash decode stub is spec-tested instead)
+    "q_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.docsAsMedia(s, T(s, dir, "documents"))
+      media
+        .withColumn("n_frames",
+          (lit(1) + pmod(octet_length(col("payload")).cast("long"), lit(15L))).cast("int"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("fi"))
+        .select(col("doc_id"), col("fi").cast("long").as("frame_idx"))
     }),
     // ---- BPE-ish regex token counting (byte-pair-style piece pattern)
     "q_token_bpe" -> ((s, dir) => {
@@ -440,6 +475,31 @@ object SparkEntry {
          |  round(len(list_filter(ts, t -> t IN ($stop)))::DOUBLE
          |    / greatest(len(ts), 1), 6) AS stopword_ratio
          |FROM t0""".stripMargin
+    },
+    "q_multimodal_frames" ->
+      """SELECT doc_id, unnest(range(0, 1 + strlen(text)::BIGINT % 15, 4)) AS frame_idx
+        |FROM documents""".stripMargin,
+    "q_lang_ngram" -> {
+      def profile(words: Seq[String]): Seq[String] = words.flatMap { w =>
+        (0 to w.length - 3).map(i => w.substring(i, i + 3))
+      }.distinct.sorted
+      def lst(p: Seq[String]) = p.map(g => s"'$g'").mkString("[", ", ", "]")
+      val (p1, p2, p3) = (profile(Seq("join", "scan", "merge")),
+        profile(Seq("filter", "sort", "window")),
+        profile(Seq("stream", "batch", "query")))
+      s"""WITH g AS (SELECT doc_id,
+         |  CASE WHEN length(text) >= 3 THEN list_distinct(list_transform(
+         |    range(1, length(text) - 1), j -> substr(lower(text), j, 3)))
+         |  ELSE []::VARCHAR[] END AS grams FROM documents),
+         |sc AS (SELECT doc_id,
+         |  len(list_intersect(grams, ${lst(p1)}))::INTEGER AS score_g1,
+         |  len(list_intersect(grams, ${lst(p2)}))::INTEGER AS score_g2,
+         |  len(list_intersect(grams, ${lst(p3)}))::INTEGER AS score_g3 FROM g)
+         |SELECT doc_id, score_g1, score_g2, score_g3,
+         |  CASE WHEN score_g1 >= greatest(score_g2, score_g3) THEN 'g1'
+         |       WHEN score_g2 >= score_g3 THEN 'g2'
+         |       ELSE 'g3' END AS pred
+         |FROM sc""".stripMargin
     },
     "q_lang_id" -> {
       def score(ws: Seq[String]) = ws.map(w =>

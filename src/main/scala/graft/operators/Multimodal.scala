@@ -66,4 +66,47 @@ object Multimodal {
     */
   def docsAsMedia(spark: SparkSession, docs: DataFrame): DataFrame =
     docs.select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB resize kernel: a real implementation rescales decoded pixels; the
+    * stub recomputes the typed metadata a resize produces (aspect-preserving
+    * fit into maxW × maxH, feature unchanged — embeddings are
+    * resolution-invariant in a real tower too). Deterministic.
+    */
+  def resizeKernel(m: MediaMeta, maxW: Int, maxH: Int): MediaMeta = {
+    val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+    m.copy(
+      width = math.max(1, math.floor(m.width * scale).toInt),
+      height = math.max(1, math.floor(m.height * scale).toInt))
+  }
+
+  /** Aspect-preserving resize over decoded media, partition-batched like
+    * [[decode]] (a real resizer amortizes its buffers the same way).
+    */
+  def resize(media: Dataset[MediaMeta], maxW: Int, maxH: Int): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizeKernel(_, maxW, maxH)))
+  }
+
+  /** One sampled frame of a media payload. */
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_feature: Seq[Float])
+
+  /** Frame sampling: every `everyK`-th frame of each decoded medium, with a
+    * deterministic per-frame feature (STUB — a real sampler seeks/decodes
+    * the frame; the fan-out shape, schema and per-frame feature contract
+    * are real). One input row explodes to ceil(n_frames / everyK) rows.
+    */
+  def sampleFrames(media: Dataset[MediaMeta], everyK: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(everyK >= 1)
+    media.flatMap { m =>
+      (0 until m.n_frames by everyK).map { f =>
+        FrameRow(m.doc_id, f,
+          m.feature.zipWithIndex.map { case (x, i) =>
+            // stub per-frame drift: a real sampler would emit the frame's
+            // own embedding; offset keeps frames distinguishable + exact
+            (x + f.toFloat / 16f + i * 0f)
+          })
+      }
+    }
+  }
 }
