@@ -166,7 +166,9 @@ object Bench {
         // raw-thread hardware ceiling for context (BASELINE.md protocol).
         val hw16 = hardwareCeiling(4)
         val hw32 = hardwareCeiling(8)
-        val r4 = runCrawl(4, parseIters, timedRuns = 2)
+        // low-core legs are stable to ~1% (measured) — one timed run each
+        // keeps the whole bench under ~17 min; the noisy 16/32 legs get 2
+        val r4 = runCrawl(4, parseIters, timedRuns = 1)
         val r16 = runCrawl(16, parseIters, timedRuns = 2)
         val r8 = runCrawl(8, parseIters, timedRuns = 1)
         val r32 = runCrawl(32, parseIters, timedRuns = 2)
