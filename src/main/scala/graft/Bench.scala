@@ -129,6 +129,15 @@ object Bench {
         Seq.empty[(String, Double, Option[String])]
       else {
         val spark = newSession(cpus.toInt)
+        // session warm-up: table reads + a shuffle + a window, so the
+        // alphabetically-first query does not absorb session init + JIT
+        try {
+          import org.apache.spark.sql.functions._
+          val warm = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          warm.groupBy(col("l_returnflag")).count().count()
+          spark.read.parquet(s"$sfDir/documents.parquet").count()
+          spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+        } catch { case _: Throwable => }
         val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           val err = try { fn(spark, sfDir).count(); None } catch {
