@@ -341,7 +341,9 @@ object CrawlDriver {
             (0, 0, p.numBucketsPow2)
         }
         Some(new graft.sources.FilterShardStore(s"${store.root}/filters", nsh,
-          eng.seenFilter, bb, bh, cb))
+          eng.seenFilter, bb, bh, cb,
+          new graft.util.SerializableHadoopConf(
+            spark.sparkContext.hadoopConfiguration)))
       }
     var filterGen: graft.sources.FilterGen = null
     if (lazyFilters) {

@@ -10,9 +10,11 @@ import graft.crawl.RobotsRule
   *
   * Semantics implemented:
   *  - RFC 9309 §2.2.1 group selection: the MOST SPECIFIC matching named
-  *    user-agent wins (longest product-token substring match); groups whose
-  *    matched agent ties at that specificity are COMBINED; the `*` group is
-  *    used only when NO named group matches;
+  *    user-agent wins (longest agent token that equals, or is a prefix of,
+  *    our product token — never raw substring containment, and empty agent
+  *    tokens are dropped); groups whose matched agent ties at that
+  *    specificity are COMBINED; the `*` group is used only when NO named
+  *    group matches;
   *  - empty `Disallow:` means allow-all (no rule emitted);
   *  - `Allow:` rules emitted with allow=true (longest prefix wins at
   *    evaluation, per RFC 9309 §2.2.2);
@@ -28,6 +30,14 @@ object RobotsTxt {
 
   def parse(host: String, content: String, userAgent: String = "graft"): Parsed = {
     val ua = userAgent.toLowerCase
+    // RFC 9309 §2.2.1 matches against our PRODUCT TOKEN (the name before any
+    // "/version" or whitespace), not the full UA string: an agent line
+    // matches iff it is the token or a prefix of it. Raw substring
+    // containment is looser than the spec — a one-character agent (or an
+    // empty one) would match almost any crawler name and override `*`.
+    val uaToken = ua.takeWhile(c => c != '/' && !c.isWhitespace)
+    def agentMatches(agent: String): Boolean =
+      agent.nonEmpty && uaToken.startsWith(agent)
 
     def lineField(line: String): Option[(String, String)] = {
       val noComment = {
@@ -68,7 +78,7 @@ object RobotsTxt {
     // no match = ineligible). The best specificity wins; ties combine;
     // `*` applies only when no named group matched.
     val withSpec = groups.toSeq.map { g =>
-      val named = g.agents.filter(_ != "*").filter(a => ua.contains(a))
+      val named = g.agents.filter(_ != "*").filter(agentMatches)
       val spec =
         if (named.nonEmpty) Some(named.map(_.length).max)
         else if (g.agents.contains("*")) Some(0)

@@ -2,47 +2,24 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Aggregator
-
-/** One Lloyd-iteration partial-sum: assigns each vector to its nearest
-  * centroid INSIDE the aggregator and accumulates per-centroid vector sums
-  * + counts in one flat double buffer (nlist × (dim+1)). Partial
-  * aggregation (map-side combine) means each executor emits one buffer per
-  * partition — the cluster never shuffles n×dim rows the way the old
-  * posexplode/groupBy(cid,pos) pass did (VERDICT r1 "What's wrong" #1).
-  */
-final class KmeansSumAggregator(centroids: Array[Array[Double]], dim: Int)
-    extends Aggregator[Seq[Float], Array[Double], Seq[Double]] {
-  import org.apache.spark.sql.{Encoder, Encoders}
-  private def width = dim + 1
-  override def zero: Array[Double] = new Array[Double](centroids.length * width)
-  override def reduce(buf: Array[Double], e: Seq[Float]): Array[Double] = {
-    val v = Similarity.toD(e)
-    val off = Similarity.nearest(v, centroids) * width
-    var j = 0
-    while (j < dim && j < v.length) { buf(off + j) += v(j); j += 1 }
-    buf(off + dim) += 1.0
-    buf
-  }
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-    var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
-    a
-  }
-  // buffer stays a primitive array object during partial agg (kryo only
-  // across the shuffle); the one output row is a real array<double> column
-  override def finish(r: Array[Double]): Seq[Double] = r.toSeq
-  override def bufferEncoder: Encoder[Array[Double]] = Encoders.kryo[Array[Double]]
-  override def outputEncoder: Encoder[Seq[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
-}
 
 /** Reusable IVF coarse-quantizer index: Lloyd-refined k-means centroids,
   * trained in one job per iteration over a cached projection and PERSISTED
   * (tiny parquet of nlist rows), so the index builds once and every query
   * against the corpus reuses it — an index is corpus state, not per-query
-  * work. Deterministic: md5-ordered seeding ([[Similarity.seedCentroids]])
-  * + fixed iteration count (empty lists keep their previous centroid).
+  * work.
+  *
+  * Each Lloyd pass assigns every vector to its nearest centroid INSIDE a
+  * mapPartitions and accumulates per-centroid vector sums + counts in one
+  * flat double buffer per PARTITION (map-side combine: the cluster never
+  * shuffles n×dim rows), then the tiny (partition_id, buffer) rows are
+  * merged on the driver in ASCENDING partition order. Double addition is
+  * non-associative, so the fixed merge order makes retraining
+  * BIT-DETERMINISTIC for a given input file layout — an arbitrary-order
+  * partial-buffer merge (the previous udaf form) could yield bitwise-
+  * different centroids run to run. Determinism: md5-ordered seeding
+  * ([[Similarity.seedCentroids]]) + fixed iteration count (empty lists keep
+  * their previous centroid) + pid-ordered merge.
   */
 object IvfIndex {
   val Dim = 64
@@ -55,16 +32,38 @@ object IvfIndex {
     import spark.implicits._
     var centroids = Similarity.seedCentroids(emb, nlist)
     if (lloydIters == 0) return centroids
-    val proj = emb.select($"embedding").cache()
+    val width = Dim + 1
+    val proj = emb.select($"embedding").as[Seq[Float]].cache()
     try {
       for (_ <- 1 to lloydIters) {
-        val sums = proj
-          .agg(udaf(new KmeansSumAggregator(centroids, Dim)).apply($"embedding"))
-          .head.getSeq[Double](0).toArray
-        centroids = Array.tabulate(centroids.length) { c =>
-          val off = c * (Dim + 1)
+        val cents = centroids
+        // one job: per-partition partial sums (nlist × (dim+1) doubles each)
+        val partials = proj.mapPartitions { it =>
+          val buf = new Array[Double](cents.length * width)
+          var any = false
+          it.foreach { e =>
+            any = true
+            val v = Similarity.toD(e)
+            val off = Similarity.nearest(v, cents) * width
+            var j = 0
+            while (j < Dim && j < v.length) { buf(off + j) += v(j); j += 1 }
+            buf(off + Dim) += 1.0
+          }
+          if (any)
+            Iterator.single((org.apache.spark.TaskContext.getPartitionId(), buf))
+          else Iterator.empty
+        }.collect()
+        // pid-ordered merge: deterministic rounding regardless of task
+        // completion order (buffers are tiny — ~nlist·dim doubles each)
+        val sums = new Array[Double](cents.length * width)
+        partials.sortBy(_._1).foreach { case (_, b) =>
+          var i = 0
+          while (i < sums.length) { sums(i) += b(i); i += 1 }
+        }
+        centroids = Array.tabulate(cents.length) { c =>
+          val off = c * width
           val n = sums(off + Dim)
-          if (n == 0.0) centroids(c) // empty list keeps its centroid
+          if (n == 0.0) cents(c) // empty list keeps its centroid
           else Array.tabulate(Dim)(j => sums(off + j) / n)
         }
       }

@@ -41,7 +41,14 @@ final class FilterShardStore(
     val kind: String, // "bloom" | "cuckoo"
     val bloomBytes: Int,
     val bloomHashes: Int,
-    val cuckooBuckets: Int) extends Serializable {
+    val cuckooBuckets: Int,
+    /** the SESSION'S Hadoop configuration, serialized to executors — S3A
+      * credentials / fs.* settings survive; defaults to a bare conf for
+      * driver-only local-fs use (tests).
+      */
+    val hconf: graft.util.SerializableHadoopConf =
+      new graft.util.SerializableHadoopConf(new Configuration()))
+    extends Serializable {
   require(kind == "bloom" || kind == "cuckoo", s"unsupported filter kind '$kind'")
 
   def baseDir(v: Int): String = s"$root/base-v$v"
@@ -49,11 +56,20 @@ final class FilterShardStore(
   private def shardFile(dir: String, shard: Int): String = s"$dir/shard-$shard.bin"
 
   private def fs(path: String): FileSystem =
-    FileSystem.get(new java.net.URI(path), new Configuration())
+    FileSystem.get(new java.net.URI(path), hconf.value)
+
+  /** Attempt-unique tmp suffix: thread ids collide ACROSS executor JVMs
+    * (retried/speculative attempts on shared storage could interleave writes
+    * into one tmp path and publish a corrupt shard) — use the cluster-unique
+    * task attempt id, falling back to a UUID off-task (driver-side tests).
+    */
+  private def attemptTag(): String = Option(org.apache.spark.TaskContext.get())
+    .map(tc => s"a${tc.taskAttemptId()}")
+    .getOrElse("u" + java.util.UUID.randomUUID().toString.take(8))
 
   private[sources] def writeFile(dir: String, shard: Int, bytes: Array[Byte]): Unit = {
     val f = fs(dir)
-    val tmp = new Path(s"$dir/.tmp-shard-$shard-${Thread.currentThread().getId}")
+    val tmp = new Path(s"$dir/.tmp-shard-$shard-${attemptTag()}")
     val dst = new Path(shardFile(dir, shard))
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()

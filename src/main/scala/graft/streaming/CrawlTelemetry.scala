@@ -85,7 +85,13 @@ object CrawlTelemetry {
                 s.fetches + 1, s.bytes + e.bytes)
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.last + gapSeconds * 1000L)
+            // clamp: withWatermark does not drop late rows before fMGWS, so
+            // a group fed only late events could compute last+gap BEHIND the
+            // current watermark — Spark rejects that and fails the query.
+            // Clamping to watermark+1 closes such a session on the next
+            // watermark advance instead of crashing.
+            state.setTimeoutTimestamp(math.max(
+              s.last + gapSeconds * 1000L, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

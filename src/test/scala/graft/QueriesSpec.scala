@@ -114,7 +114,16 @@ class QueriesSpec extends AnyFunSuite {
     trained.zip(again).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
   }
 
-  test("ivf training: one-pass aggregator means == naive driver-side Lloyd pass") {
+  test("ivf training is bit-deterministic: retrain == retrain (pid-ordered merge)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = graft.operators.IvfIndex.train(emb, nlist = 16, lloydIters = 2)
+    val b = graft.operators.IvfIndex.train(emb, nlist = 16, lloydIters = 2)
+    a.zip(b).foreach { case (x, y) =>
+      assert(java.util.Arrays.equals(x, y), "retraining produced different bits")
+    }
+  }
+
+  test("ivf training: one-pass partial-sum means == naive driver-side Lloyd pass") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val seeds = graft.operators.Similarity.seedCentroids(emb, 8)

@@ -102,6 +102,52 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(p.rules.map(_.path_prefix) === Seq("/fallback/"))
   }
 
+  test("agent matching is token-boundary, not substring: mid-string and " +
+    "suffix matches do not select a named group") {
+    val txt =
+      """User-agent: raft
+        |Disallow: /suffix-match/
+        |
+        |User-agent: a
+        |Disallow: /one-char-substring/
+        |
+        |User-agent: *
+        |Disallow: /fallback/
+        |""".stripMargin
+    // "raft" is a substring (not a prefix) of "graft"; "a" likewise —
+    // neither may override the * group under RFC 9309 product-token matching
+    val p = RobotsTxt.parse("h.test", txt, userAgent = "graft")
+    assert(p.rules.map(_.path_prefix) === Seq("/fallback/"))
+  }
+
+  test("agent matches the product token of a versioned UA; prefix counts") {
+    val txt =
+      """User-agent: graft
+        |Disallow: /named/
+        |
+        |User-agent: *
+        |Disallow: /fallback/
+        |""".stripMargin
+    assert(RobotsTxt.parse("h.test", txt, userAgent = "graftbot/2.1")
+      .rules.map(_.path_prefix) === Seq("/named/"),
+      "agent token must match as a prefix of the UA product token")
+    assert(RobotsTxt.parse("h.test", txt, userAgent = "graft/1.0 (+contact)")
+      .rules.map(_.path_prefix) === Seq("/named/"),
+      "version suffix after '/' must not defeat the match")
+  }
+
+  test("empty User-agent value is dropped — it must not tie with *") {
+    val txt =
+      """User-agent:
+        |Disallow: /empty-agent/
+        |
+        |User-agent: *
+        |Disallow: /fallback/
+        |""".stripMargin
+    val p = RobotsTxt.parse("h.test", txt, userAgent = "graft")
+    assert(p.rules.map(_.path_prefix) === Seq("/fallback/"))
+  }
+
   test("parsed synthetic robots.txt reproduces the fixture rule set") {
     val cfg = SyntheticWeb.WebConfig(hosts = 16, pagesPerHost = 10)
     val expected = SyntheticWeb.robotsFixture(cfg)
