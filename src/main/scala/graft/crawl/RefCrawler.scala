@@ -28,7 +28,10 @@ case class WaveTotals(
   *  4. wave: for every host with pending URLs, the first min(B, pending)
   *     URLs in frontier order; trace order = selected set in frontier order.
   *  5. robots: checked at admission; denied URLs occupy the seen-set, are
-  *     never enqueued, never fetched, never traced.
+  *     never enqueued, never fetched, never traced. In fetchRobotsTxt mode
+  *     a host's rules come from fetching+parsing `<host>/robots.txt` on the
+  *     host's FIRST admission-time encounter (config rules are the fallback
+  *     for hosts serving none) — robots acquisition is part of the crawl.
   *  6. fetch+parse: [[SyntheticWeb.fetchParse]]; outlinks resolved against
   *     the base URL, admitted in (page trace order, link index) order —
   *     first occurrence wins (covers in-page and intra-wave dedup).
@@ -37,22 +40,31 @@ case class WaveTotals(
   */
 class RefCrawler(cfg: CrawlConfig) {
 
-  private val robotsByHost: Map[String, Seq[RobotsRule]] =
-    cfg.robots.groupBy(_.host)
+  private val configRulesByHost: Map[String, Seq[RobotsRule]] =
+    RobotsEval.byHost(cfg.robots)
+
+  /** fetchRobotsTxt mode: lazily resolved per-host rules — fetched+parsed
+    * robots.txt, config rules as fallback. Cached: one fetch per host.
+    */
+  private val resolvedRules =
+    scala.collection.mutable.HashMap.empty[String, Seq[RobotsRule]]
+
+  private def rulesFor(host: String): Seq[RobotsRule] =
+    if (!cfg.fetchRobotsTxt) configRulesByHost.getOrElse(host, Nil)
+    else resolvedRules.getOrElseUpdate(host,
+      cfg.fetcher.fetchRobots(host) match {
+        case Some(txt) =>
+          graft.functions.RobotsTxt.parse(host, txt, cfg.userAgent).rules
+        case None => configRulesByHost.getOrElse(host, Nil)
+      })
 
   /** Longest matching path_prefix wins; ties by min rule_order; no rule
-    * matching -> allow.
+    * matching -> allow. (Shared evaluation: [[RobotsEval]].)
     */
   def robotsAllowed(canonicalUrl: String): Boolean = {
     val host = CanonicalUrl.host(canonicalUrl)
     val path = CanonicalUrl.path(canonicalUrl)
-    robotsByHost.get(host) match {
-      case None => true
-      case Some(rules) =>
-        val matching = rules.filter(r => path.startsWith(r.path_prefix))
-        if (matching.isEmpty) true
-        else matching.minBy(r => (-r.path_prefix.length, r.rule_order)).allow
-    }
+    RobotsEval.allowed(rulesFor(host), path)
   }
 
   def run(): (CrawlResult, Seq[WaveTotals]) = {

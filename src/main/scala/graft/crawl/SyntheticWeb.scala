@@ -140,6 +140,30 @@ object SyntheticWeb {
     }
   }
 
+  /** The robots.txt BODY served at `http://<host>/robots.txt` — None when
+    * the host serves none. Pure function of (host, cfg) like every other
+    * page, so robots acquisition is deterministic at any parallelism and in
+    * the sequential oracle. Its parse reproduces exactly the per-host rules
+    * of [[robotsFixture]] (asserted in RobotsTxtSpec), so a fetch-mode crawl
+    * must equal a fixture-mode crawl bit-for-bit.
+    */
+  def robotsTxt(host: String, cfg: WebConfig): Option[String] = {
+    if (!(host.startsWith("host") && host.endsWith(".test"))) return None
+    val mid = host.substring(4, host.length - 5)
+    if (mid.isEmpty || !mid.forall(_.isDigit)) return None
+    val i = mid.toInt
+    if (i >= cfg.hosts) return None
+    if (i == cfg.hosts - 1 && cfg.hosts > 2) Some("User-agent: *\nDisallow: /\n")
+    else {
+      val lines = Seq.newBuilder[String]
+      if (i % 4 == 1) lines += "Disallow: /p/1"
+      if (i % 8 == 1) lines += "Allow: /p/12"
+      val body = lines.result()
+      if (body.isEmpty) None
+      else Some("User-agent: *\n" + body.mkString("\n") + "\n")
+    }
+  }
+
   /** Robots fixture (FIXTURES.md §A5) over live page paths so the rules
     * actually fire: prefix-deny "/p/1" on 1-in-4 hosts (matches /p/1,
     * /p/10..19, ...), a longer allow-override "/p/12" on 1-in-8, and a

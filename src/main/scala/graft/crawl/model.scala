@@ -38,6 +38,32 @@ case class SeenRow(canonical_url: String, host_hash: Long)
   */
 case class RobotsRule(host: String, path_prefix: String, allow: Boolean, rule_order: Int)
 
+/** Longest-prefix robots evaluation shared by the oracle and the engine —
+  * ONE definition so the semantics cannot drift. Input is the rules of ONE
+  * host (callers probe a host-keyed map first — never a scan of the full
+  * rule set per URL, which at 10^7 hosts would be a per-row full dimension
+  * scan). Ties at equal prefix length go to the lowest rule_order; no
+  * matching rule -> allow.
+  */
+object RobotsEval {
+  def allowed(rulesOfHost: Seq[RobotsRule], path: String): Boolean = {
+    var best: RobotsRule = null
+    rulesOfHost.foreach { r =>
+      if (path.startsWith(r.path_prefix) &&
+          (best == null ||
+           r.path_prefix.length > best.path_prefix.length ||
+           (r.path_prefix.length == best.path_prefix.length &&
+            r.rule_order < best.rule_order)))
+        best = r
+    }
+    best == null || best.allow
+  }
+
+  /** Host-keyed index of a flat rule list (built once, probed per URL). */
+  def byHost(rules: Seq[RobotsRule]): Map[String, Seq[RobotsRule]] =
+    rules.groupBy(_.host)
+}
+
 /** Per-wave, per-partition lineage + fetch/parse metrics (north_rule:
   * snapshots carry per-partition lineage and fetch/parse metrics).
   */
@@ -60,12 +86,21 @@ case class WaveMetrics(
   */
 trait PageFetcher extends Serializable {
   def fetchParse(canonicalUrl: String): (IndexedSeq[Span], IndexedSeq[String])
+
+  /** GET `http://<host>/robots.txt` — the raw body, or None when the host
+    * serves none (or it is unreachable, which RFC 9309 §2.3.1 treats as
+    * allow-all). Pure per host in the sandbox implementation; a real
+    * fetcher caches per host + TTL behind the same signature.
+    */
+  def fetchRobots(host: String): Option[String] = None
 }
 
 /** Deterministic sandbox fetcher over [[SyntheticWeb]]. */
 case class SyntheticFetcher(web: SyntheticWeb.WebConfig) extends PageFetcher {
   override def fetchParse(url: String): (IndexedSeq[Span], IndexedSeq[String]) =
     SyntheticWeb.fetchParse(url, web)
+  override def fetchRobots(host: String): Option[String] =
+    SyntheticWeb.robotsTxt(host, web)
 }
 
 /** Crawl configuration shared by the oracle and the Spark engine.
@@ -80,7 +115,18 @@ case class CrawlConfig(
     maxUrls: Long = Long.MaxValue,
     web: SyntheticWeb.WebConfig = SyntheticWeb.WebConfig(),
     robots: Seq[RobotsRule] = Nil,
-    hostBudgets: Map[String, Int] = Map.empty) {
+    hostBudgets: Map[String, Int] = Map.empty,
+    /** true: robots rules are ACQUIRED by the crawl itself — on first
+      * encounter of a host, `<host>/robots.txt` is fetched through the
+      * [[PageFetcher]] and parsed ([[graft.functions.RobotsTxt]]); the
+      * static `robots` list is the fallback for hosts serving none.
+      * false: the static list is the whole rule set (fixture mode).
+      */
+    fetchRobotsTxt: Boolean = false,
+    /** product token used for RFC 9309 group selection when parsing
+      * fetched robots.txt.
+      */
+    userAgent: String = "graft") {
   /** The fetch implementation; engine and oracle share it. */
   def fetcher: PageFetcher = SyntheticFetcher(web)
   def budgetFor(host: String): Int = hostBudgets.getOrElse(host, budgetPerHost)

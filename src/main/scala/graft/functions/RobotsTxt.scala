@@ -115,23 +115,15 @@ object RobotsTxt {
   def budgetForDelay(delaySeconds: Double, wavePeriodSeconds: Double = 60.0): Int =
     math.max(1, math.floor(wavePeriodSeconds / math.max(delaySeconds, 1e-9)).toInt)
 
-  /** Synthesized robots.txt TEXTS whose parse reproduces
-    * [[graft.crawl.SyntheticWeb.robotsFixture]] — ties the text parser
-    * into the deterministic fixture path.
+  /** All non-empty robots.txt TEXTS of the synthetic web, keyed by host —
+    * the per-host bodies live in [[graft.crawl.SyntheticWeb.robotsTxt]]
+    * (they ARE the web's robots pages, fetched by the crawl in
+    * fetchRobotsTxt mode); their parse reproduces
+    * [[graft.crawl.SyntheticWeb.robotsFixture]].
     */
-  def syntheticRobotsTxt(cfg: graft.crawl.SyntheticWeb.WebConfig): Map[String, String] = {
+  def syntheticRobotsTxt(cfg: graft.crawl.SyntheticWeb.WebConfig): Map[String, String] =
     (0 until cfg.hosts).flatMap { i =>
       val host = s"host$i.test"
-      if (i == cfg.hosts - 1 && cfg.hosts > 2)
-        Some(host -> "User-agent: *\nDisallow: /\n")
-      else {
-        val lines = Seq.newBuilder[String]
-        if (i % 4 == 1) lines += "Disallow: /p/1"
-        if (i % 8 == 1) lines += "Allow: /p/12"
-        val body = lines.result()
-        if (body.isEmpty) None
-        else Some(host -> ("User-agent: *\n" + body.mkString("\n") + "\n"))
-      }
+      graft.crawl.SyntheticWeb.robotsTxt(host, cfg).map(host -> _)
     }.toMap
-  }
 }

@@ -18,8 +18,10 @@ import java.nio.charset.StandardCharsets
   *
   *  - data files are immutable Parquet directories, written once;
   *  - a snapshot = JSON manifest listing, per logical table, the data dirs
-  *    (and their files — per-partition lineage) composing that version,
-  *    plus a summary map of metrics;
+  *    composing that version plus a summary map of metrics; per-partition
+  *    file lineage lives in write-once `_lineage.json` sidecars inside each
+  *    data dir (manifest-file indirection — manifests stay flat no matter
+  *    how many commits accumulate);
   *  - commit = write data, write manifest vN.json, then ATOMICALLY swap the
   *    CURRENT pointer (tmp file + ATOMIC_MOVE) — readers see old or new,
   *    never a partial state;
@@ -40,11 +42,17 @@ import java.nio.charset.StandardCharsets
   *     CURRENT                       // contains the version number
   * }}}
   */
-/** One logical table's state within a manifest: schema, the data dirs
-  * composing the table at this version, and the individual data files
-  * (per-partition lineage).
+/** One logical table's state within a manifest: schema and the data dirs
+  * composing the table at this version. The individual data files of each
+  * dir (per-partition lineage) live in a WRITE-ONCE sidecar
+  * `<dir>/_lineage.json` written with the data — Iceberg's manifest-file
+  * indirection: embedding every file of every table version in every
+  * manifest made the cumulative manifest bytes quadratic in commits
+  * (each commit re-serialized all prior file lists); with the sidecar a
+  * file list is written exactly once and manifests carry only dir
+  * pointers. Read back via [[SnapshotStore.files]].
   */
-case class TableState(schemaDdl: String, dataDirs: List[String], files: List[String])
+case class TableState(schemaDdl: String, dataDirs: List[String])
 
 case class Manifest(
     version: Long,
@@ -70,6 +78,23 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
   }
 
   def currentManifest: Option[Manifest] = currentVersion.map(manifest)
+
+  /** Per-partition lineage of a table at a version: the data files of each
+    * composing dir, read from the write-once `_lineage.json` sidecars (in
+    * dir order, file order within a dir as written).
+    */
+  def files(table: String, version: Option[Long] = None): List[String] = {
+    val m = version.map(manifest).orElse(currentManifest)
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    val st = m.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"unknown table '$table' in v${m.version}"))
+    st.dataDirs.flatMap { d =>
+      val p = rootPath.resolve(d).resolve("_lineage.json")
+      if (!Files.exists(p)) Nil
+      else JsonMethods.parse(new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8)).extract[List[String]].map(f => s"$d/$f")
+    }
+  }
 
   /** Read a logical table at a version (default: current). Empty table
     * (no data files yet) reads as an empty DataFrame with the recorded
@@ -176,7 +201,7 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     private var summaryMap: Map[String, String] = Map.empty
     private var queued: List[(String, DataFrame, Boolean)] = Nil // (table, df, isAppend)
 
-    private def writeData(table: String, df: DataFrame): (String, List[String]) = {
+    private def writeData(table: String, df: DataFrame): String = {
       val rel = s"data/$table/v$newVersion"
       val abs = rootPath.resolve(rel)
       df.write.mode("overwrite").parquet(abs.toString)
@@ -189,7 +214,12 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
               .filter(_.endsWith(".parquet")).toList.sorted
           } finally s.close()
         } else Nil
-      (rel, files.map(f => s"$rel/$f"))
+      // write-once per-dir lineage sidecar (underscore-prefixed: invisible
+      // to the parquet reader) — manifests carry only the dir pointer
+      if (Files.isDirectory(abs))
+        Files.write(abs.resolve("_lineage.json"),
+          Serialization.write(files).getBytes(StandardCharsets.UTF_8))
+      rel
     }
 
     /** Replace the table's content with df (copy-on-write). */
@@ -214,7 +244,7 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       */
     def declare(table: String, schema: StructType): Commit = {
       if (!tables.contains(table))
-        tables += table -> TableState(ddlOf(schema), Nil, Nil)
+        tables += table -> TableState(ddlOf(schema), Nil)
       this
     }
 
@@ -234,12 +264,11 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
         Future((table, isAppend, ddlOf(df.schema), writeData(table, df)))
       }
       Await.result(Future.sequence(writes), Duration.Inf).foreach {
-        case (table, isAppend, ddl, (dir, files)) =>
+        case (table, isAppend, ddl, dir) =>
           val prev = tables.get(table).filter(_ => isAppend)
           tables += table -> TableState(
             ddl,
-            prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
-            prev.map(_.files).getOrElse(Nil) ++ files)
+            prev.map(_.dataDirs).getOrElse(Nil) :+ dir)
       }
       Files.createDirectories(rootPath.resolve("manifests"))
       val m = Manifest(newVersion, parentManifest.map(_.version).getOrElse(-1L),

@@ -114,6 +114,16 @@ class QueriesSpec extends AnyFunSuite {
     trained.zip(again).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
   }
 
+  test("q_ann_ivf_trained: the Lloyd-trained index at nprobe=8 reproduces " +
+    "the exact top-k bit-for-bit (recall@5 == 1.0 certificate)") {
+    import spark.implicits._
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(rows("q_ann_ivf_trained") === rows("q_ann_topk"),
+      "trained IVF lost a true neighbor — nprobe too low or training drifted")
+  }
+
   test("ivf training is bit-deterministic: retrain == retrain (pid-ordered merge)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val a = graft.operators.IvfIndex.train(emb, nlist = 16, lloydIters = 2)

@@ -155,6 +155,12 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     CrawlDriver.run(spark, cfg.copy(maxWaves = 2), root2, eng)
     CrawlDriver.resume(spark, cfg, root2, eng)
     assertEqualResults(oracleRes, CrawlDriver.result(spark, root2))
+    // the MOR merge is a delta-sized ANTI-JOIN, not a groupBy shuffle of
+    // the whole base+delta set
+    val morPlan = CrawlDriver.readPending(spark, new graft.sources.SnapshotStore(root2, spark))
+      .queryExecution.optimizedPlan.toString
+    assert(morPlan.contains("LeftAnti"), s"MOR merge lost the anti-join:\n$morPlan")
+    assert(!morPlan.contains("Aggregate"), s"MOR merge pays a groupBy:\n$morPlan")
   }
 
   test("store-mode seen: shard IN-filter is pushed to the parquet scan") {
@@ -213,6 +219,95 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     val root = tmp()
     CrawlDriver.run(spark, cfg, root)
     assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
+  test("robots.txt ACQUISITION: rules come only from robots pages fetched " +
+    "by the crawl itself — engine == oracle == fixture-mode, incl. a host " +
+    "whose fetched robots denies the page that discovered it; resume re-resolves") {
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    val denyAllHost = s"host${web.hosts - 1}.test"
+    val fetchCfg = CrawlConfig(SyntheticWeb.seedUrls(24, web), budgetPerHost = 2,
+      maxWaves = 1000, web = web, robots = Nil, fetchRobotsTxt = true)
+    val (oFetch, totals) = new RefCrawler(fetchCfg).run()
+    // the fetched rules actually fire...
+    assert(totals.map(_.robots_denied).sum > 0, "no robots denial ever happened")
+    // ...including the deny-all host: discovered (it IS in seen), its robots
+    // fetched, and the very page that discovered it denied — never fetched
+    assert(oFetch.seen.exists(_.contains(denyAllHost)),
+      "deny-all host never encountered — fixture too weak")
+    assert(!oFetch.trace.exists(_.host == denyAllHost),
+      "deny-all host was fetched despite its robots.txt")
+    // fetch-mode == fixture-mode (the robots pages parse to the fixture rules)
+    val (oFix, _) = new RefCrawler(fetchCfg.copy(
+      robots = SyntheticWeb.robotsFixture(web), fetchRobotsTxt = false)).run()
+    assert(oFetch.trace === oFix.trace && oFetch.seen === oFix.seen,
+      "acquired-rules crawl must equal fixture-rules crawl")
+    // distributed engine bit-equal in acquisition mode
+    val root = tmp()
+    CrawlDriver.run(spark, fetchCfg, root)
+    assertEqualResults(oFetch, CrawlDriver.result(spark, root))
+    // resume: robots state is NOT persisted — hosts re-resolve lazily
+    val root2 = tmp()
+    CrawlDriver.run(spark, fetchCfg.copy(maxWaves = 3), root2)
+    CrawlDriver.resume(spark, fetchCfg, root2)
+    assertEqualResults(oFetch, CrawlDriver.result(spark, root2))
+  }
+
+  test("robots.txt acquisition: config rules are the fallback for hosts " +
+    "serving no robots.txt, fetched rules win where present") {
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    // host0 serves no robots.txt -> config fallback must deny its /p/2*;
+    // host1 serves one -> its fetched rules apply (config has none for it)
+    val fallback = Seq(RobotsRule("host0.test", "/p/2", allow = false, 0))
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(24, web), budgetPerHost = 2,
+      maxWaves = 1000, web = web, robots = fallback, fetchRobotsTxt = true)
+    val (o, totals) = new RefCrawler(cfg).run()
+    assert(totals.map(_.robots_denied).sum > 0)
+    assert(!o.trace.exists(t => t.host == "host0.test" &&
+      CanonicalUrlPath(t.canonical_url).startsWith("/p/2")),
+      "config fallback rule did not fire on the robots-less host")
+    assert(!o.trace.exists(t => t.host == "host1.test" &&
+      CanonicalUrlPath(t.canonical_url).startsWith("/p/1") &&
+      !CanonicalUrlPath(t.canonical_url).startsWith("/p/12")),
+      "fetched rules did not fire on the robots-serving host")
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
+  private def CanonicalUrlPath(u: String): String =
+    graft.functions.CanonicalUrl.path(u)
+
+  test("robots probe is host-keyed: 10^4-host rule dimension, engine == " +
+    "oracle, map probe == naive full-scan semantics") {
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 20)
+    val live = SyntheticWeb.robotsFixture(web)
+    // 10^4 rules on hosts the crawl never visits: with the old per-URL
+    // full-list scan this costs 10^4 comparisons per candidate row; the
+    // host-keyed map probes only the visited host's bucket
+    val offSite = (0 until 10000).map(i =>
+      RobotsRule(s"offsite$i.example", "/", allow = false, 1000 + i))
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(16, web), budgetPerHost = 2,
+      maxWaves = 1000, web = web, robots = live ++ offSite)
+    val (o, _) = new RefCrawler(cfg).run()
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+    // semantic guard: the host-keyed probe equals the naive flat scan
+    val all = live ++ offSite
+    val byHost = RobotsEval.byHost(all)
+    def naive(host: String, path: String): Boolean = {
+      val matching = all.filter(r => r.host == host && path.startsWith(r.path_prefix))
+      if (matching.isEmpty) true
+      else matching.minBy(r => (-r.path_prefix.length, r.rule_order)).allow
+    }
+    val probes = Seq(("host1.test", "/p/15"), ("host1.test", "/p/12"),
+      ("host7.test", "/p/3"), ("host0.test", "/p/9"),
+      ("offsite42.example", "/x"), ("unknown.example", "/y"))
+    probes.foreach { case (h, p) =>
+      assert(RobotsEval.allowed(byHost.getOrElse(h, Nil), p) === naive(h, p),
+        s"probe semantics diverge for $h$p")
+    }
   }
 
   test("wave metrics roll up to oracle per-wave totals") {

@@ -75,6 +75,31 @@ class ExpireAndCompactSpec extends AnyFunSuite {
     assert(CrawlDriver.result(spark, root).trace.nonEmpty)
   }
 
+  test("large-batch expire (10^5 targets) runs through the anti-join path " +
+    "with identical semantics") {
+    val root = Files.createTempDirectory("expire-big").toString
+    CrawlDriver.run(spark, cfg(maxWaves = 3), root)
+    val store = new SnapshotStore(root, spark)
+    import spark.implicits._
+    val victims = store.read("seen").select($"canonical_url")
+      .orderBy($"canonical_url").limit(5).as[String].collect().toSeq
+    val seenBefore = store.read("seen").count()
+    val pendingBefore = CrawlDriver.readPending(spark, store)
+      .select($"canonical_url").as[String].collect().toSet
+    // 10^5 targets, almost all absent — far past ExpireJoinThreshold
+    val bogus = (0 until 100000).map(i => s"http://nowhere$i.example/x")
+    val removed = CrawlDriver.expire(spark, root, bogus ++ victims)
+    assert(removed === victims.size.toLong,
+      s"expected exactly the ${victims.size} present victims removed")
+    assert(store.read("seen").count() === seenBefore - victims.size)
+    assert(store.read("seen")
+      .filter($"canonical_url".isin(victims: _*)).count() === 0)
+    // pending ⊆ seen invariant held through the join path
+    val pendingAfter = CrawlDriver.readPending(spark, store)
+      .select($"canonical_url").as[String].collect().toSet
+    assert(pendingAfter === pendingBefore -- victims)
+  }
+
   test("expireSnapshots keeps the current state readable, drops stale COW dirs") {
     val root = Files.createTempDirectory("gc").toString
     CrawlDriver.run(spark, cfg(), root)

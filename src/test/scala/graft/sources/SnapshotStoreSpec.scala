@@ -35,11 +35,47 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // time travel to v0
     assert(store.read("log", Some(0L)).count() === 2)
     assert(store.read("state", Some(0L)).as[(Int, String)].head()._1 === 1)
-    // manifest carries lineage: files listed per table
+    // lineage: per-partition file lists via the write-once sidecars,
+    // cumulative across appends and time-travelable
     val m = store.manifest(1L)
     assert(m.parent === 0L)
-    assert(m.tables("log").files.nonEmpty)
+    val filesV1 = store.files("log")
+    assert(filesV1.nonEmpty && filesV1.forall(_.endsWith(".parquet")))
+    assert(store.files("log", Some(0L)).size < filesV1.size,
+      "append must add lineage files")
     assert(m.summary("wave") === "1")
+  }
+
+  test("manifests stay FLAT: no file lists re-embedded per commit; lineage " +
+    "complete via sidecars after many appends") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val store = new SnapshotStore(root, spark)
+    val n = 25
+    (0 until n).foreach { i =>
+      store.beginCommit()
+        .append("log", Seq((i, s"v$i")).toDF("id", "v"))
+        .summary("wave" -> i.toString).commit()
+    }
+    // the manifest never embeds parquet file names — only dir pointers
+    val last = Files.readString(Paths.get(root, s"manifests/v${n - 1}.json"))
+    assert(!last.contains(".parquet"),
+      "manifest re-embeds data file names — sidecar indirection broken")
+    // manifest growth per commit is one dir pointer, not a file list:
+    // byte growth across the last 10 commits stays ~constant per commit
+    val sizes = (n - 10 until n)
+      .map(v => Files.size(Paths.get(root, s"manifests/v$v.json")))
+    val deltas = sizes.sliding(2).map(s => s(1) - s(0)).toSeq
+    assert(deltas.forall(d => d >= 0 && d < 200),
+      s"manifest growth per commit not flat: $deltas")
+    // lineage still complete: one file set per append, all readable
+    val lineage = store.files("log")
+    assert(lineage.size >= n, s"lineage incomplete: ${lineage.size} < $n")
+    assert(store.read("log").count() === n.toLong)
+    // compaction collapses the dir list (long-crawl manifest hygiene)
+    store.compact("log")
+    assert(store.currentManifest.get.tables("log").dataDirs.size === 1)
+    assert(store.read("log").count() === n.toLong)
   }
 
   test("empty tables read back with schema") {
