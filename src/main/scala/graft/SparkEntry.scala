@@ -311,18 +311,24 @@ object SparkEntry {
       Similarity.ivfTopK(emb, col("vec_id") < 8, k = 5,
         centroids = Similarity.seedCentroids(emb, nlist = 16), nprobe = 4)
     }),
-    // ---- ANN: the LLOYD-TRAINED IVF index on the driver gate. Training is
-    // bit-deterministic (md5 seeding + pid-ordered partial-sum merge), so
-    // the trained top-k is a fixed function of the table; at nprobe=8 of
-    // nlist=16 the probed lists provably contain every true top-5 neighbor
-    // (verified at sf0.001/0.01/0.1) and the output EQUALS the exact top-k
-    // the oracle re-derives — the row-level hash match IS the recall@5=1.0
-    // certificate for the trained index.
+    // ---- ANN: the LLOYD-TRAINED IVF index on the driver gate. One Lloyd
+    // refinement pass (assign to md5 seeds -> per-cluster centroid means)
+    // IS SQL-expressible, so the oracle re-derives the TRAINED quantizer
+    // itself — lists, probes and top-k included. Cross-engine float parity:
+    // each engine averages in its own summation order, so the trained
+    // centroids are rounded to 6dp on BOTH sides (Spark Round semantics ==
+    // DuckDB round, proven across the r1/r2 gate) before any distance is
+    // computed — from identical rounded centroids both engines fold
+    // distances in ascending-dim order and every comparison lands
+    // identically. Multi-iteration training stays sbt-tested (QueriesSpec).
     "q_ann_ivf_trained" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
+      val trained = graft.operators.IvfIndex.train(emb, nlist = 16, lloydIters = 1)
+        .map(_.map(x =>
+          BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
       Similarity.ivfTopK(emb, col("vec_id") < 8, k = 5,
-        centroids = graft.operators.IvfIndex.train(emb, nlist = 16, lloydIters = 2),
-        nprobe = 8)
+        centroids = trained, nprobe = 4)
     }),
     // ---- embedding near-dup pairs (label-blocked exactness baseline)
     "q_embedding_neardup" -> ((s, dir) =>
@@ -618,22 +624,57 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY c DESC, neighbor_id) AS rank FROM g)
          |WHERE rank <= 5""".stripMargin,
-    // the oracle re-derives EXACT top-k only: the trained index (Spark-side
-    // Lloyd, deterministic) must reproduce it exactly at nprobe=8 — a
-    // mismatch means the trained quantizer lost a true neighbor
+    // the oracle re-derives the TRAINED quantizer: one Lloyd pass off the
+    // md5 seeds (per-cluster, per-dimension means, rounded 6dp exactly as
+    // the Spark side rounds its trained centroids), then the same
+    // lists/probes/top-k derivation as q_ann_ivf
     "q_ann_ivf_trained" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, emb,
-        |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
-        |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 8),
-        |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-        |        list_sum(list_transform(range(1, 65), j -> qe[j] * emb[j])) / (qn * nrm) AS c
-        |      FROM q, n WHERE n.vec_id != q.query_id)
-        |SELECT query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY c DESC, neighbor_id) AS rank FROM p)
-        |WHERE rank <= 5""".stripMargin,
+      s"""WITH $SqlEmbN,
+         |ranked AS (SELECT vec_id, emb,
+         |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS r FROM e),
+         |seeds AS (SELECT r - 1 AS cid, emb AS cemb FROM ranked WHERE r <= 16),
+         |dist0 AS (SELECT e.vec_id, s.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      j -> (e.emb[j] - s.cemb[j]) * (e.emb[j] - s.cemb[j]))) AS d
+         |  FROM e CROSS JOIN seeds s),
+         |assign0 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM dist0)
+         |  WHERE rr = 1),
+         |memberdims AS (SELECT a.cid, j, e.emb[j] AS x
+         |  FROM assign0 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) jj(j)),
+         |avgs AS (SELECT cid, j, round(avg(x), 6) AS ax
+         |  FROM memberdims GROUP BY cid, j),
+         |newcent AS (SELECT cid, list(ax ORDER BY j) AS cemb FROM avgs GROUP BY cid),
+         |cent AS (SELECT s.cid,
+         |    COALESCE(nc.cemb, list_transform(s.cemb, x -> round(x, 6))) AS cemb
+         |  FROM seeds s LEFT JOIN newcent nc USING (cid)),
+         |dist AS (SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      j -> (e.emb[j] - c.cemb[j]) * (e.emb[j] - c.cemb[j]))) AS d
+         |  FROM e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM dist)
+         |  WHERE rr = 1),
+         |probes AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr
+         |    FROM dist WHERE vec_id < 8)
+         |  WHERE rr <= 4),
+         |p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 65), j -> nq.emb[j] * nn.emb[j]))
+         |      / (nq.nrm * nn.nrm) AS c
+         |  FROM probes pr JOIN assign a USING (cid)
+         |  JOIN n nq ON nq.vec_id = pr.query_id
+         |  JOIN n nn ON nn.vec_id = a.vec_id
+         |  WHERE a.vec_id != pr.query_id),
+         |g AS (SELECT query_id, neighbor_id, max(c) AS c FROM p
+         |      GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, neighbor_id) AS rank FROM g)
+         |WHERE rank <= 5""".stripMargin,
     "q_embedding_neardup_lsh" ->
       s"""WITH $SqlEmbN,
          |$SqlLshBuckets,
