@@ -102,6 +102,33 @@ object CrawlDriver {
   private case class NewBroadcast(f: ShardedSeenFilter) extends FilterUpdate
   private case class NewGen(gen: graft.sources.FilterGen) extends FilterUpdate
 
+  /** One host's acquired robots state (fetchRobotsTxt mode). */
+  private case class HostRobots(host: String, served: Boolean,
+      rules: Seq[RobotsRule], delay: Option[Double])
+
+  /** Fetch+parse `<host>/robots.txt` for each host ON EXECUTORS (robots
+    * fetch is network-bound at scale, exactly like page fetch); only the
+    * tiny (host, rules, delay) rows reach the driver.
+    */
+  private def fetchRobotsDistributed(spark: SparkSession, fetcher: PageFetcher,
+      userAgent: String, hosts: Seq[String]): Seq[HostRobots] = {
+    import spark.implicits._
+    if (hosts.isEmpty) Nil
+    else spark.createDataset(hosts.toIndexedSeq)
+      .repartition(math.min(hosts.length,
+        math.max(1, spark.sessionState.conf.numShufflePartitions)))
+      .mapPartitions(_.map { h =>
+        fetcher.fetchRobots(h) match {
+          case Some(txt) =>
+            val p = graft.functions.RobotsTxt.parse(h, txt, userAgent)
+            (h, true, p.rules, p.crawlDelaySeconds)
+          case None => (h, false, Seq.empty[RobotsRule], None: Option[Double])
+        }
+      })
+      .collect()
+      .map(t => HostRobots(t._1, t._2, t._3, t._4)).toSeq
+  }
+
   // ---- merge-on-read pending layout ---------------------------------------
   private val PendingBase = "pending_base"
   private val PendingDelta = "pending_delta"
@@ -200,6 +227,9 @@ object CrawlDriver {
     val configRules = RobotsEval.byHost(cfg.robots)
     var rulesByHost = configRules
     var knownHosts: Set[String] = Set.empty
+    // fetched Crawl-delay -> per-host politeness budget (explicit
+    // cfg.hostBudgets overrides win at probe time; see the budget udf)
+    var budgetsByHost: Map[String, Int] = Map.empty
     // fetchRobotsTxt mode, seed hosts: seeds are driver-resident operator
     // input, so their robots acquisition is a driver-side loop; every host
     // discovered DURING the crawl is resolved distributed in the wave loop.
@@ -207,7 +237,10 @@ object CrawlDriver {
       .filterNot(knownHosts.contains).foreach { h =>
         val eff = cfg.fetcher.fetchRobots(h) match {
           case Some(txt) =>
-            graft.functions.RobotsTxt.parse(h, txt, cfg.userAgent).rules
+            val p = graft.functions.RobotsTxt.parse(h, txt, cfg.userAgent)
+            p.crawlDelaySeconds.foreach(d => budgetsByHost += h ->
+              graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds))
+            p.rules
           case None => configRules.getOrElse(h, Nil)
         }
         knownHosts += h
@@ -279,7 +312,8 @@ object CrawlDriver {
         }
         Some(f)
       }
-    loop(spark, cfg, store, eng, rulesByHost, knownHosts, fast = Some(FastStart(
+    loop(spark, cfg, store, eng, rulesByHost, budgetsByHost, knownHosts,
+      fast = Some(FastStart(
       pending = pending0.toDF(),
       seen0 = seen0,
       filter = initFilter,
@@ -289,21 +323,44 @@ object CrawlDriver {
   }
 
   /** Resume from the CURRENT snapshot of an existing store. In
-    * fetchRobotsTxt mode no robots state needs persisting: rules are a pure
-    * function of host, so the loop lazily re-resolves any host it meets
-    * again — identical rules, identical output.
+    * fetchRobotsTxt mode no robots state needs persisting: rules/budgets
+    * are a pure function of host, so any host met again re-resolves to the
+    * identical state. The one exception is SELECTION: the first resumed
+    * wave selects from already-pending hosts BEFORE any candidate
+    * resolution runs, so their Crawl-delay budgets must be re-acquired
+    * up front — one distinct-hosts pass over pending + a distributed
+    * robots fetch (host count is the small dimension of a frontier).
     */
   def resume(spark: SparkSession, cfg: CrawlConfig, storeRoot: String,
              eng: EngineConfig = EngineConfig()): RunHandle = {
     val store = new SnapshotStore(storeRoot, spark)
     require(store.currentVersion.nonEmpty, s"nothing to resume at $storeRoot")
-    loop(spark, cfg, store, eng, RobotsEval.byHost(cfg.robots), Set.empty)
+    val configRules = RobotsEval.byHost(cfg.robots)
+    var rules0 = configRules
+    var budgets0 = Map.empty[String, Int]
+    var known0 = Set.empty[String]
+    if (cfg.fetchRobotsTxt) {
+      import spark.implicits._
+      val hosts = readPending(spark, store)
+        .select($"host").distinct().as[String].collect().toSeq
+      fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
+        .foreach { hr =>
+          val eff = if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil)
+          known0 += hr.host
+          rules0 =
+            if (eff.nonEmpty) rules0.updated(hr.host, eff) else rules0 - hr.host
+          hr.delay.foreach(d => budgets0 += hr.host ->
+            graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds))
+        }
+    }
+    loop(spark, cfg, store, eng, rules0, budgets0, known0)
   }
 
   // ---------------------------------------------------------------------
   private def loop(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore,
                    eng: EngineConfig,
                    rules0: Map[String, Seq[RobotsRule]],
+                   budgets0: Map[String, Int],
                    known0: Set[String],
                    fast: Option[FastStart] = None): RunHandle = {
     import spark.implicits._
@@ -311,11 +368,9 @@ object CrawlDriver {
     val fetcher = cfg.fetcher
     val defaultBudget = cfg.budgetPerHost
     val hostBudgetsB = spark.sparkContext.broadcast(cfg.hostBudgets)
-    val budgetOf = udf((host: String) =>
-      hostBudgetsB.value.getOrElse(host, defaultBudget))
 
-    // ---- robots state: host-keyed rule map + the set of hosts whose rules
-    // are already resolved (fetchRobotsTxt mode). The rules broadcast is
+    // ---- robots state (host-keyed rules + Crawl-delay budgets) and the
+    // set of hosts already resolved (fetchRobotsTxt mode). Broadcasts are
     // swapped only on waves that resolve new hosts; superseded broadcasts
     // are reclaimed by Spark's ContextCleaner once unreferenced — never
     // destroy()ed eagerly, because the in-flight commit's lazily-
@@ -323,8 +378,10 @@ object CrawlDriver {
     val configRules = RobotsEval.byHost(cfg.robots)
     val userAgent = cfg.userAgent
     var rulesByHost = rules0
+    var budgetsByHost = budgets0
     var knownHosts = known0
     var robotsCur = spark.sparkContext.broadcast(rulesByHost)
+    var budgetsCur = spark.sparkContext.broadcast(budgetsByHost)
     var knownHostsB = spark.sparkContext.broadcast(knownHosts)
 
     // Seen-filter plumbing, shared by bloom and cuckoo: the shard build is
@@ -477,7 +534,15 @@ object CrawlDriver {
         done = true
       } else {
         val waveT0 = System.nanoTime()
-        // ---- Q1/Q2: per-host budget selection (one shuffle of pending only)
+        // ---- Q1/Q2: per-host budget selection (one shuffle of pending
+        // only). Budget precedence: explicit config override > fetched
+        // Crawl-delay budget (acquired when the host was first resolved, in
+        // an earlier wave — any pending host has been through admission) >
+        // default. The budgets broadcast is captured at wave start.
+        val bb = budgetsCur
+        val budgetOf = udf((host: String) =>
+          hostBudgetsB.value.getOrElse(host,
+            bb.value.getOrElse(host, defaultBudget)))
         val hostWin = Window.partitionBy($"host_hash")
           .orderBy($"priority", $"discovery_time", $"canonical_url")
         val ranked = pending.toDF().withColumn("__rk", row_number().over(hostWin)).cache()
@@ -609,26 +674,19 @@ object CrawlDriver {
           val newHosts = tagged.select($"host").distinct()
             .filter(!isKnown($"host")).as[String].collect()
           if (newHosts.nonEmpty) {
-            val fetchedRules = spark
-              .createDataset(newHosts.toIndexedSeq)
-              .repartition(math.min(newHosts.length,
-                math.max(1, spark.sessionState.conf.numShufflePartitions)))
-              .mapPartitions(_.map { h =>
-                fetcher.fetchRobots(h) match {
-                  case Some(txt) =>
-                    (h, true,
-                      graft.functions.RobotsTxt.parse(h, txt, userAgent).rules)
-                  case None => (h, false, Seq.empty[RobotsRule])
-                }
-              })
-              .collect()
-            fetchedRules.foreach { case (h, served, rules) =>
-              val eff = if (served) rules else configRules.getOrElse(h, Nil)
-              knownHosts += h
-              rulesByHost =
-                if (eff.nonEmpty) rulesByHost.updated(h, eff) else rulesByHost - h
-            }
+            fetchRobotsDistributed(spark, fetcher, userAgent, newHosts.toSeq)
+              .foreach { hr =>
+                val eff =
+                  if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil)
+                knownHosts += hr.host
+                rulesByHost =
+                  if (eff.nonEmpty) rulesByHost.updated(hr.host, eff)
+                  else rulesByHost - hr.host
+                hr.delay.foreach(d => budgetsByHost += hr.host ->
+                  graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds))
+              }
             robotsCur = spark.sparkContext.broadcast(rulesByHost)
+            budgetsCur = spark.sparkContext.broadcast(budgetsByHost)
             knownHostsB = spark.sparkContext.broadcast(knownHosts)
           }
         }

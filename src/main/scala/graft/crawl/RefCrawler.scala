@@ -43,20 +43,34 @@ class RefCrawler(cfg: CrawlConfig) {
   private val configRulesByHost: Map[String, Seq[RobotsRule]] =
     RobotsEval.byHost(cfg.robots)
 
-  /** fetchRobotsTxt mode: lazily resolved per-host rules — fetched+parsed
-    * robots.txt, config rules as fallback. Cached: one fetch per host.
+  /** fetchRobotsTxt mode: lazily resolved per-host robots state — rules
+    * fetched+parsed (config rules as fallback for hosts serving none) and
+    * the Crawl-delay-derived politeness budget. Cached: one fetch per host.
     */
-  private val resolvedRules =
-    scala.collection.mutable.HashMap.empty[String, Seq[RobotsRule]]
+  private val resolved = scala.collection.mutable
+    .HashMap.empty[String, (Seq[RobotsRule], Option[Int])]
+
+  private def resolve(host: String): (Seq[RobotsRule], Option[Int]) =
+    resolved.getOrElseUpdate(host,
+      cfg.fetcher.fetchRobots(host) match {
+        case Some(txt) =>
+          val p = graft.functions.RobotsTxt.parse(host, txt, cfg.userAgent)
+          (p.rules, p.crawlDelaySeconds.map(d =>
+            graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds)))
+        case None => (configRulesByHost.getOrElse(host, Nil), None)
+      })
 
   private def rulesFor(host: String): Seq[RobotsRule] =
     if (!cfg.fetchRobotsTxt) configRulesByHost.getOrElse(host, Nil)
-    else resolvedRules.getOrElseUpdate(host,
-      cfg.fetcher.fetchRobots(host) match {
-        case Some(txt) =>
-          graft.functions.RobotsTxt.parse(host, txt, cfg.userAgent).rules
-        case None => configRulesByHost.getOrElse(host, Nil)
-      })
+    else resolve(host)._1
+
+  /** Politeness budget: explicit config override > fetched Crawl-delay
+    * (fetchRobotsTxt mode) > default.
+    */
+  def effectiveBudget(host: String): Int =
+    cfg.hostBudgets.getOrElse(host,
+      (if (cfg.fetchRobotsTxt) resolve(host)._2 else None)
+        .getOrElse(cfg.budgetPerHost))
 
   /** Longest matching path_prefix wins; ties by min rule_order; no rule
     * matching -> allow. (Shared evaluation: [[RobotsEval]].)
@@ -101,7 +115,7 @@ class RefCrawler(cfg: CrawlConfig) {
       val byHost = pending.groupBy(_.host)
       val selected = byHost.iterator.flatMap { case (host, entries) =>
         entries.sortBy(e => (e.priority, e.discovery_time, e.canonical_url))
-          .take(cfg.budgetFor(host))
+          .take(effectiveBudget(host))
       }.toIndexedSeq
         .sortBy(e => (e.priority, e.discovery_time, e.canonical_url))
       val deferred = pending.size - selected.size

@@ -126,9 +126,23 @@ case class CrawlConfig(
     /** product token used for RFC 9309 group selection when parsing
       * fetched robots.txt.
       */
-    userAgent: String = "graft") {
+    userAgent: String = "graft",
+    /** fetchRobotsTxt mode: a fetched `Crawl-delay: d` maps to a per-host
+      * politeness budget of floor(wavePeriodSeconds / d) (min 1) — the
+      * scheduler's target wave period. Explicit hostBudgets overrides win
+      * over fetched delays; hosts with neither use budgetPerHost.
+      */
+    wavePeriodSeconds: Double = 60.0,
+    /** test/deployment hook: replace the fetch implementation (e.g. a real
+      * HTTP fetcher, or a fixture serving custom robots bodies).
+      */
+    fetcherOverride: Option[PageFetcher] = None) {
   /** The fetch implementation; engine and oracle share it. */
-  def fetcher: PageFetcher = SyntheticFetcher(web)
+  def fetcher: PageFetcher = fetcherOverride.getOrElse(SyntheticFetcher(web))
+  /** Static budget (fixture mode); fetch mode layers fetched Crawl-delay
+    * budgets between the override and the default — see
+    * [[RefCrawler.effectiveBudget]] and the engine's budget broadcast.
+    */
   def budgetFor(host: String): Int = hostBudgets.getOrElse(host, budgetPerHost)
 }
 

@@ -8,6 +8,22 @@ import java.nio.file.Files
   * (URL-seen set) and docs (per-row span-sequence equality on
   * (kind, text, media_ref, order)) — BASELINE.json north_rule/input_hint.
   */
+/** Test fetcher: the synthetic web plus extra `Crawl-delay:` lines on
+  * chosen hosts' robots.txt — exercises delay->budget acquisition.
+  */
+case class DelayRobotsFetcher(web: SyntheticWeb.WebConfig,
+                              delays: Map[String, Double]) extends PageFetcher {
+  override def fetchParse(u: String): (IndexedSeq[Span], IndexedSeq[String]) =
+    SyntheticWeb.fetchParse(u, web)
+  override def fetchRobots(h: String): Option[String] = {
+    val base = SyntheticWeb.robotsTxt(h, web)
+    delays.get(h) match {
+      case Some(d) => Some(base.getOrElse("User-agent: *\n") + s"Crawl-delay: $d\n")
+      case None    => base
+    }
+  }
+}
+
 class CrawlEquivalenceSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
 
@@ -277,6 +293,36 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
 
   private def CanonicalUrlPath(u: String): String =
     graft.functions.CanonicalUrl.path(u)
+
+  test("Crawl-delay ACQUISITION: fetched delays map to per-host politeness " +
+    "budgets (override > delay > default), engine == oracle, resume " +
+    "re-acquires budgets for pending hosts") {
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    val delays = Map("host0.test" -> 30.0, "host2.test" -> 60.0) // -> budgets 2, 1
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(24, web), budgetPerHost = 4,
+      maxWaves = 1000, web = web, robots = Nil, fetchRobotsTxt = true,
+      fetcherOverride = Some(DelayRobotsFetcher(web, delays)))
+    val (o, _) = new RefCrawler(cfg).run()
+    // fetched delays actually bind selection
+    o.trace.groupBy(t => (t.wave, t.host)).foreach { case ((w, h), rows) =>
+      val cap = delays.get(h)
+        .map(d => graft.functions.RobotsTxt.budgetForDelay(d, 60.0)).getOrElse(4)
+      assert(rows.size <= cap, s"wave $w host $h over acquired budget $cap")
+    }
+    assert(o.trace.exists(_.host == "host0.test"), "delayed host never crawled")
+    assert(o.trace.groupBy(t => (t.wave, t.host)).exists {
+      case ((_, h), rows) => !delays.contains(h) && rows.size > 2
+    }, "no host ever exceeded the delayed caps — budgets not distinguishable")
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+    // resume: the first resumed selection needs the delay budgets BEFORE
+    // any candidate resolution — the resume pre-pass re-acquires them
+    val root2 = tmp()
+    CrawlDriver.run(spark, cfg.copy(maxWaves = 2), root2)
+    CrawlDriver.resume(spark, cfg, root2)
+    assertEqualResults(o, CrawlDriver.result(spark, root2))
+  }
 
   test("robots probe is host-keyed: 10^4-host rule dimension, engine == " +
     "oracle, map probe == naive full-scan semantics") {
