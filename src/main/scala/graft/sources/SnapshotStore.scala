@@ -60,6 +60,15 @@ case class Manifest(
     summary: Map[String, String],
     tables: Map[String, TableState])
 
+/** Thrown when CURRENT moved past a commit's parent snapshot before it
+  * could publish (Iceberg's CommitFailedException analog): the commit's
+  * base state is stale — re-read and re-apply. Detection is
+  * check-before-write + check-before-swap; a true atomic CAS needs the
+  * catalog a real deployment provides (documented substitution, SURVEY
+  * §7.3) — the wave loop itself is strictly one-committer-at-a-time.
+  */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 final class SnapshotStore(val root: String, spark: SparkSession) {
   private implicit val fmts: Formats = DefaultFormats
 
@@ -260,6 +269,17 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      def checkParentCurrent(): Unit = {
+        val now = currentVersion
+        val expect = parentManifest.map(_.version)
+        if (now != expect)
+          throw new ConcurrentCommitException(
+            s"commit based on ${expect.getOrElse("none")} but CURRENT is " +
+              s"${now.getOrElse("none")} — another commit published first")
+      }
+      // check BEFORE writing: a stale commit must not clobber the data dirs
+      // a competing same-version commit already published
+      checkParentCurrent()
       val writes = queued.reverse.map { case (table, df, isAppend) =>
         Future((table, isAppend, ddlOf(df.schema), writeData(table, df)))
       }
@@ -271,6 +291,7 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
             prev.map(_.dataDirs).getOrElse(Nil) :+ dir)
       }
       Files.createDirectories(rootPath.resolve("manifests"))
+      checkParentCurrent() // narrow the publish race to the swap itself
       val m = Manifest(newVersion, parentManifest.map(_.version).getOrElse(-1L),
         summaryMap, tables)
       val json = Serialization.writePretty(m)

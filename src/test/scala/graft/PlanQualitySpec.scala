@@ -65,7 +65,8 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("approximate ANN + near-dup are KEY equijoins, never cartesian") {
-    for (q <- Seq("q_ann_lsh", "q_ann_ivf", "q_embedding_neardup_lsh")) {
+    for (q <- Seq("q_ann_lsh", "q_ann_ivf", "q_ann_ivf_trained",
+      "q_embedding_neardup_lsh")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"),
         s"$q degenerated to a cartesian product:\n$plan")

@@ -88,6 +88,21 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.toSeq === Seq("id", "v"))
   }
 
+  test("optimistic concurrency: a commit whose parent is no longer CURRENT " +
+    "fails WITHOUT clobbering the winner's data") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmpRoot(), spark)
+    store.beginCommit().append("log", Seq((0, "base")).toDF("id", "v")).commit()
+    val winner = store.beginCommit().append("log", Seq((1, "win")).toDF("id", "v"))
+    val loser = store.beginCommit().append("log", Seq((2, "lose")).toDF("id", "v"))
+    assert(winner.commit() === 1L)
+    intercept[ConcurrentCommitException] { loser.commit() }
+    // the winner's state is fully intact — the loser wrote nothing
+    assert(store.currentVersion === Some(1L))
+    assert(store.read("log").as[(Int, String)].collect().map(_._1).sorted.toSeq
+      === Seq(0, 1))
+  }
+
   test("atomicity: unswapped manifest is invisible; reopened store resumes at CURRENT") {
     import spark.implicits._
     val root = tmpRoot()
