@@ -66,17 +66,23 @@ object Bench {
     * noisy shared IO).
     */
   private def runCrawl(cores: Int, parseIters: Long, timedRuns: Int,
-                       eng: CrawlDriver.EngineConfig = CrawlDriver.EngineConfig())
+                       eng: CrawlDriver.EngineConfig = CrawlDriver.EngineConfig(),
+                       /** acquire robots via the crawl itself (rules come
+                         * from the synthetic web's robots pages == the
+                         * fixture rules, so output must be identical). */
+                       fetchRobots: Boolean = false)
   : CrawlRun = {
     val spark = newSession(cores, aqe = false)
+    def acquire(c: CrawlConfig): CrawlConfig =
+      if (!fetchRobots) c else c.copy(robots = Nil, fetchRobotsTxt = true)
     try {
       val warmWeb = SyntheticWeb.WebConfig(hosts = 64, pagesPerHost = 101,
         parseWorkIters = parseIters)
       CrawlDriver.run(spark,
-        CrawlConfig(SyntheticWeb.seedUrls(2000, warmWeb), 1000, 2, 5000, warmWeb,
-          SyntheticWeb.robotsFixture(warmWeb)),
+        acquire(CrawlConfig(SyntheticWeb.seedUrls(2000, warmWeb), 1000, 2, 5000, warmWeb,
+          SyntheticWeb.robotsFixture(warmWeb))),
         java.nio.file.Files.createTempDirectory("bench-warm").toString, eng)
-      val cfg = benchCrawlConfig(parseIters)
+      val cfg = acquire(benchCrawlConfig(parseIters))
       val runs = (1 to timedRuns).map { _ =>
         val root = java.nio.file.Files.createTempDirectory(s"bench-crawl-$cores").toString
         val t0 = System.nanoTime()
@@ -194,6 +200,12 @@ object Bench {
         val rScale = runCrawl(32, parseIters, timedRuns = 1, eng = scaleModeEngine)
         require(rScale.fetched == r32.fetched && rScale.deduped == r32.deduped,
           s"scale-mode engine diverged: $rScale vs $r32")
+        // robots ACQUISITION mode on the same input: rules come from the
+        // web's own robots pages (== fixture rules), so output must be
+        // bit-identical; throughput shows what in-crawl acquisition costs
+        val rRobots = runCrawl(32, parseIters, timedRuns = 1, fetchRobots = true)
+        require(rRobots.fetched == r32.fetched && rRobots.deduped == r32.deduped,
+          s"robots-acquisition crawl diverged: $rRobots vs $r32")
         val eff416 = (r16.urlsPerSec / r4.urlsPerSec) / 4.0
         val eff832 = (r32.urlsPerSec / r8.urlsPerSec) / 4.0
         f"""{"fetched":${r4.fetched},"deduped":${r4.deduped},""" +
@@ -209,7 +221,9 @@ object Bench {
           f""""hw_cpu_ceiling_4_to_16":$hw16%.3f,""" +
           f""""hw_cpu_ceiling_8_to_32":$hw32%.3f,""" +
           f""""urls_per_sec_32_scale_mode":${rScale.urlsPerSec}%.0f,""" +
-          f""""scale_mode_vs_broadcast":${rScale.urlsPerSec / r32.urlsPerSec}%.3f}"""
+          f""""scale_mode_vs_broadcast":${rScale.urlsPerSec / r32.urlsPerSec}%.3f,""" +
+          f""""urls_per_sec_32_robots_fetch":${rRobots.urlsPerSec}%.0f,""" +
+          f""""robots_fetch_vs_fixture":${rRobots.urlsPerSec / r32.urlsPerSec}%.3f}"""
       }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +

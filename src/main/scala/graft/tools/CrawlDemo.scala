@@ -4,22 +4,30 @@ import graft.crawl._
 import graft.functions.CanonicalUrl
 
 /** CLI smoke surface for the crawl semantics: runs the sequential oracle
-  * (and, once implemented, the Spark engine) on a small deterministic web
-  * and prints a summary. Usage:
-  *   sbt "runMain graft.tools.CrawlDemo [nSeeds] [budget] [maxWaves]"
+  * and the Spark engine on a small deterministic web and prints a summary.
+  * Usage:
+  *   sbt "runMain graft.tools.CrawlDemo [nSeeds] [budget] [maxWaves] [fetchRobots]"
+  * With fetchRobots=true the crawl ACQUIRES robots rules itself (fetches
+  * each host's robots.txt through the PageFetcher on first encounter)
+  * instead of receiving a rule fixture — results must be identical.
   */
 object CrawlDemo {
   def main(args: Array[String]): Unit = {
     val nSeeds = if (args.length > 0) args(0).toInt else 24
     val budget = if (args.length > 1) args(1).toInt else 2
     val maxWaves = if (args.length > 2) args(2).toInt else 100
+    val fetchRobots = args.length > 3 && args(3).toBoolean
     val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
     // robots rules via the full text path: synthesized robots.txt -> parser
-    val robots = graft.functions.RobotsTxt.syntheticRobotsTxt(web)
-      .flatMap { case (h, txt) => graft.functions.RobotsTxt.parse(h, txt).rules }
-      .toSeq.sortBy(r => (r.host, r.rule_order))
+    // (fetch mode passes NO rules — the crawl acquires them per host)
+    val robots =
+      if (fetchRobots) Nil
+      else graft.functions.RobotsTxt.syntheticRobotsTxt(web)
+        .flatMap { case (h, txt) => graft.functions.RobotsTxt.parse(h, txt).rules }
+        .toSeq.sortBy(r => (r.host, r.rule_order))
     val cfg = CrawlConfig(SyntheticWeb.seedUrls(nSeeds, web), budget, maxWaves,
-      web = web, robots = robots)
+      web = web, robots = robots, fetchRobotsTxt = fetchRobots)
+    if (fetchRobots) println("[demo] robots mode: ACQUIRED by the crawl (fetchRobotsTxt)")
     val (res, totals) = new RefCrawler(cfg).run()
     println(s"[oracle] waves=${totals.size} fetched=${res.trace.size} " +
       s"seen=${res.seen.size} docs=${res.docs.size}")
