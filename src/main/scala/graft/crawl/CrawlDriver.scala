@@ -74,6 +74,15 @@ object CrawlDriver {
         * compactPendingEvery. At P=10^9 pending rows a wave touches ~10^4
         * of them: COW is a full-table write per wave, MOR is delta-sized. */
       pendingStorage: String = "cow",
+      /** "broadcast": robots rules/budgets live in driver-built host-keyed
+        * broadcast maps — right up to ~10^6 hosts. "table": rules and
+        * per-host budgets are SNAPSHOT TABLES (`robots_rules`,
+        * `robots_hosts`) appended per wave with everything else; admission
+        * is a host-keyed JOIN + longest-prefix aggregate and budgets join
+        * into selection — no robots bytes ever reach the driver, the
+        * 10^7+-host path (and rules gain lineage/time-travel/resume like
+        * all crawl state). Output-invariant; EQ-asserted. */
+      robotsStorage: String = "broadcast",
       compactPendingEvery: Int = 8,
       verbose: Boolean = false)
 
@@ -95,7 +104,12 @@ object CrawlDriver {
       filter: Option[ShardedSeenFilter],
       nextSeq: Long,
       pendingCount: Long,
-      wave0Commit: SnapshotStore#Commit)
+      wave0Commit: SnapshotStore#Commit,
+      /** table-robots mode: the wave-0 robots (rules, hosts) rows — the
+        * store copy rides the async wave-0 commit, so wave 1 joins against
+        * this in-memory delta.
+        */
+      robotsDelta: Option[(DataFrame, DataFrame)] = None)
 
   /** Result of a wave's async filter maintenance. */
   private sealed trait FilterUpdate
@@ -132,6 +146,51 @@ object CrawlDriver {
   // ---- merge-on-read pending layout ---------------------------------------
   private val PendingBase = "pending_base"
   private val PendingDelta = "pending_delta"
+
+  // ---- robots-as-table layout (robotsStorage = "table") --------------------
+  private val RobotsRules = "robots_rules"
+  private val RobotsHosts = "robots_hosts"
+  private def robotsRulesSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "host STRING, path_prefix STRING, allow BOOLEAN, rule_order INT")
+  private def robotsHostsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "host STRING, budget INT")
+
+  private def emptyDf(spark: SparkSession,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Robots table at the LAST LANDED snapshot (empty before the table is
+    * first committed — e.g. wave 1 of a fast-started run, whose wave-0
+    * commit is still in flight).
+    */
+  private def readRobots(spark: SparkSession, store: SnapshotStore,
+                         table: String): DataFrame = {
+    val schema = if (table == RobotsRules) robotsRulesSchema else robotsHostsSchema
+    if (store.currentManifest.exists(_.tables.contains(table))) store.read(table)
+    else emptyDf(spark, schema)
+  }
+
+  /** Driver-side rows -> the two robots-table deltas (seed/resume
+    * bootstrap; per-wave deltas are built distributed in the loop).
+    */
+  private def robotsDfs(spark: SparkSession,
+                        rules: Seq[RobotsRule],
+                        hosts: Seq[(String, Option[Int])])
+  : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.Row
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rules.map(x => Row(x.host, x.path_prefix, x.allow, x.rule_order)),
+        math.max(1, math.min(4, rules.size))),
+      robotsRulesSchema)
+    val h = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        hosts.map(x => Row(x._1, x._2.map(Integer.valueOf).orNull)),
+        math.max(1, math.min(4, hosts.size))),
+      robotsHostsSchema)
+    (r, h)
+  }
 
   private def frontierSchema =
     org.apache.spark.sql.Encoders.product[FrontierEntry].schema
@@ -279,6 +338,21 @@ object CrawlDriver {
       wave0.replace(PendingBase, pending0.toDF())
         .declare(PendingDelta, pendingDeltaSchema)
     else wave0.replace("pending", pending0.toDF())
+    // table-robots mode: robots state is CRAWL STATE in the store. Wave 0
+    // carries the seed hosts' acquired rules/budgets (fetch mode) or the
+    // whole config rule set (fixture mode); later waves append deltas.
+    val robots0: Option[(DataFrame, DataFrame)] =
+      if (eng.robotsStorage != "table") None
+      else {
+        val (ruleRows, hostRows) =
+          if (cfg.fetchRobotsTxt)
+            (knownHosts.toSeq.sorted.flatMap(h => rulesByHost.getOrElse(h, Nil)),
+              knownHosts.toSeq.sorted.map(h => h -> budgetsByHost.get(h)))
+          else (cfg.robots, Seq.empty[(String, Option[Int])])
+        val (rdf, hdf) = robotsDfs(spark, ruleRows, hostRows)
+        wave0.append(RobotsRules, rdf).append(RobotsHosts, hdf)
+        Some((rdf, hdf))
+      }
     wave0
       .append("seen", seen0.repartition(col("shard")).sortWithinPartitions("shard"))
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
@@ -319,7 +393,8 @@ object CrawlDriver {
       filter = initFilter,
       nextSeq = seedRows.size.toLong,
       pendingCount = seedRows.count(_._7).toLong,
-      wave0Commit = wave0)))
+      wave0Commit = wave0,
+      robotsDelta = robots0)))
   }
 
   /** Resume from the CURRENT snapshot of an existing store. In
@@ -339,7 +414,28 @@ object CrawlDriver {
     var rules0 = configRules
     var budgets0 = Map.empty[String, Int]
     var known0 = Set.empty[String]
-    if (cfg.fetchRobotsTxt) {
+    var robotsTables0: Option[(DataFrame, DataFrame)] = None
+    if (eng.robotsStorage == "table") {
+      // robots state is durable crawl state: read it back — nothing to
+      // refetch. A store written in broadcast mode lacks the tables; then
+      // bootstrap exactly like the broadcast pre-pass, as a delta.
+      robotsTables0 =
+        if (store.currentManifest.exists(_.tables.contains(RobotsRules)))
+          Some((emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema)))
+        else if (!cfg.fetchRobotsTxt)
+          Some(robotsDfs(spark, cfg.robots, Nil))
+        else {
+          import spark.implicits._
+          val hosts = readPending(spark, store)
+            .select($"host").distinct().as[String].collect().toSeq
+          val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
+          val rules = resolved.flatMap(hr =>
+            if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil))
+          val hostRows = resolved.map(hr => hr.host -> hr.delay.map(d =>
+            graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds)))
+          Some(robotsDfs(spark, rules, hostRows))
+        }
+    } else if (cfg.fetchRobotsTxt) {
       import spark.implicits._
       val hosts = readPending(spark, store)
         .select($"host").distinct().as[String].collect().toSeq
@@ -353,7 +449,7 @@ object CrawlDriver {
             graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds))
         }
     }
-    loop(spark, cfg, store, eng, rules0, budgets0, known0)
+    loop(spark, cfg, store, eng, rules0, budgets0, known0, robotsTables0)
   }
 
   // ---------------------------------------------------------------------
@@ -362,6 +458,7 @@ object CrawlDriver {
                    rules0: Map[String, Seq[RobotsRule]],
                    budgets0: Map[String, Int],
                    known0: Set[String],
+                   robotsTables0: Option[(DataFrame, DataFrame)] = None,
                    fast: Option[FastStart] = None): RunHandle = {
     import spark.implicits._
 
@@ -383,6 +480,22 @@ object CrawlDriver {
     var robotsCur = spark.sparkContext.broadcast(rulesByHost)
     var budgetsCur = spark.sparkContext.broadcast(budgetsByHost)
     var knownHostsB = spark.sparkContext.broadcast(knownHosts)
+
+    // ---- robots-as-TABLE state (robotsStorage = "table", the 10^7+-host
+    // path): rules/budgets are snapshot tables; the store read covers
+    // everything through the last AWAITED commit and `robotsDelta` covers
+    // rows riding a commit still in flight (wave-0 seed rows on the fast
+    // path; each wave's acquisitions thereafter). `robotsUncommitted`
+    // holds bootstrap rows not yet handed to any commit (resume).
+    val tableRobots = eng.robotsStorage == "table"
+    val configRulesB = spark.sparkContext.broadcast(configRules)
+    val wavePeriod = cfg.wavePeriodSeconds
+    var robotsDelta: (DataFrame, DataFrame) =
+      fast.flatMap(_.robotsDelta).orElse(robotsTables0)
+        .getOrElse((emptyDf(spark, robotsRulesSchema),
+          emptyDf(spark, robotsHostsSchema)))
+    var robotsUncommitted: Option[(DataFrame, DataFrame)] =
+      if (fast.isEmpty) robotsTables0 else None
 
     // Seen-filter plumbing, shared by bloom and cuckoo: the shard build is
     // an executor-side Aggregator grouped by host-hash shard — only S tiny
@@ -538,16 +651,32 @@ object CrawlDriver {
         // only). Budget precedence: explicit config override > fetched
         // Crawl-delay budget (acquired when the host was first resolved, in
         // an earlier wave — any pending host has been through admission) >
-        // default. The budgets broadcast is captured at wave start.
-        val bb = budgetsCur
-        val budgetOf = udf((host: String) =>
-          hostBudgetsB.value.getOrElse(host,
-            bb.value.getOrElse(host, defaultBudget)))
+        // default. Broadcast mode captures the budget map at wave start;
+        // table mode JOINS the robots_hosts table (store through the last
+        // awaited commit ∪ the in-flight delta, deduped per host).
         val hostWin = Window.partitionBy($"host_hash")
           .orderBy($"priority", $"discovery_time", $"canonical_url")
         val ranked = pending.toDF().withColumn("__rk", row_number().over(hostWin)).cache()
-        val selectedRaw = ranked.filter($"__rk" <= budgetOf($"host")).drop("__rk")
-        val deferred = ranked.filter($"__rk" > budgetOf($"host")).drop("__rk").as[FrontierEntry]
+        val (selectedRaw, deferred) =
+          if (!tableRobots) {
+            val bb = budgetsCur
+            val budgetOf = udf((host: String) =>
+              hostBudgetsB.value.getOrElse(host,
+                bb.value.getOrElse(host, defaultBudget)))
+            (ranked.filter($"__rk" <= budgetOf($"host")).drop("__rk"),
+              ranked.filter($"__rk" > budgetOf($"host")).drop("__rk").as[FrontierEntry])
+          } else {
+            val overrideU = udf((h: String) => hostBudgetsB.value.get(h))
+            val hostsAll = readRobots(spark, store, RobotsHosts)
+              .unionByName(robotsDelta._2)
+              .groupBy($"host").agg(min($"budget").as("__tb")) // store/delta dedupe
+            val rankedB = ranked.join(hostsAll, Seq("host"), "left")
+              .withColumn("__budget",
+                coalesce(overrideU($"host"), $"__tb", lit(defaultBudget)))
+            val fcols = frontierSchema.fieldNames.map(col).toSeq
+            (rankedB.filter($"__rk" <= $"__budget").select(fcols: _*),
+              rankedB.filter($"__rk" > $"__budget").select(fcols: _*).as[FrontierEntry])
+          }
 
         // ---- Q4: wave trace numbering (two-phase rank, no global window)
         val selected = withGlobalSeq(selectedRaw,
@@ -668,7 +797,7 @@ object CrawlDriver {
         // Candidate hosts (pre-dedup) are a superset of admitted hosts —
         // resolving the superset is output-invariant (rules are a pure
         // function of host) and avoids an extra pass over the dedup chain.
-        if (cfg.fetchRobotsTxt) {
+        if (cfg.fetchRobotsTxt && !tableRobots) {
           val kb = knownHostsB
           val isKnown = udf((h: String) => kb.value.contains(h))
           val newHosts = tagged.select($"host").distinct()
@@ -690,6 +819,47 @@ object CrawlDriver {
             knownHostsB = spark.sparkContext.broadcast(knownHosts)
           }
         }
+
+        // table mode: FULLY DISTRIBUTED acquisition — new hosts found by
+        // anti-join against the hosts table, robots fetched+parsed on
+        // executors, rule/budget rows flow straight into this wave's
+        // commit; no robots bytes ever reach the driver.
+        val rulesKnown =
+          if (!tableRobots) null
+          else readRobots(spark, store, RobotsRules).unionByName(robotsDelta._1)
+        val hostsKnown =
+          if (!tableRobots) null
+          else readRobots(spark, store, RobotsHosts).unionByName(robotsDelta._2)
+        val (newRuleRows, newHostRows): (DataFrame, DataFrame) =
+          if (!tableRobots || !cfg.fetchRobotsTxt)
+            (emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema))
+          else {
+            val crb = configRulesB
+            val ua = userAgent
+            val wp = wavePeriod
+            val res = tagged.select($"host").distinct()
+              .join(hostsKnown.select($"host"), Seq("host"), "left_anti")
+              .as[String]
+              .mapPartitions(_.map { h =>
+                fetcher.fetchRobots(h) match {
+                  case Some(txt) =>
+                    val p = graft.functions.RobotsTxt.parse(h, txt, ua)
+                    (h, p.rules.map(r => (r.path_prefix, r.allow, r.rule_order)),
+                      p.crawlDelaySeconds.map(d =>
+                        graft.functions.RobotsTxt.budgetForDelay(d, wp)))
+                  case None =>
+                    (h, crb.value.getOrElse(h, Nil)
+                      .map(r => (r.path_prefix, r.allow, r.rule_order)),
+                      None: Option[Int])
+                }
+              })
+              .toDF("host", "rules", "budget")
+              .localCheckpoint(false) // one fetch per host; reused 3×
+            (res.select($"host", explode($"rules").as("r"))
+              .select($"host", $"r._1".as("path_prefix"),
+                $"r._2".as("allow"), $"r._3".as("rule_order")),
+              res.select($"host", $"budget"))
+          }
 
         val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe")
         val maybeSeen = tagged.filter($"__maybe").drop("__maybe")
@@ -720,15 +890,37 @@ object CrawlDriver {
           .drop("__rank", "trace_seq", "link_idx")
 
         // ---- robots at admission (like the oracle): denied occupy seen
-        // only. The probe is a host-keyed map lookup + longest-prefix over
+        // only. Broadcast mode: host-keyed map lookup + longest-prefix over
         // that host's few rules — O(rules-of-host) per URL, not O(|rules|).
-        val rb = robotsCur
-        val allowedUdf = udf((u: String) =>
-          RobotsEval.allowed(rb.value.getOrElse(CanonicalUrl.host(u), Nil),
-            CanonicalUrl.path(u)))
+        // Table mode: host-keyed JOIN against the rules table, then a
+        // longest-prefix-wins aggregate per URL (max over
+        // (prefix_len, -rule_order, allow); no matching rule -> allow) —
+        // identical semantics, zero driver-resident rules.
         val tFetchMs = (System.nanoTime() - tFetch0) / 1e6
         val tDedup0 = System.nanoTime()
-        val withRobots = numbered.withColumn("__allowed", allowedUdf($"canonical_url")).cache()
+        val withRobots =
+          if (!tableRobots) {
+            val rb = robotsCur
+            val allowedUdf = udf((u: String) =>
+              RobotsEval.allowed(rb.value.getOrElse(CanonicalUrl.host(u), Nil),
+                CanonicalUrl.path(u)))
+            numbered.withColumn("__allowed", allowedUdf($"canonical_url")).cache()
+          } else {
+            val pathU = udf((u: String) => CanonicalUrl.path(u))
+            val rulesAll = rulesKnown.unionByName(newRuleRows)
+            numbered.join(rulesAll, Seq("host"), "left")
+              .withColumn("__m", $"path_prefix".isNotNull &&
+                pathU($"canonical_url").startsWith($"path_prefix"))
+              .groupBy($"canonical_url", $"host", $"host_hash",
+                $"priority", $"discovery_time", $"depth")
+              .agg(max(when($"__m", struct(
+                length($"path_prefix").as("l"),
+                (-$"rule_order").as("o"),
+                $"allow".as("allow")))).as("__b"))
+              .withColumn("__allowed", coalesce($"__b.allow", lit(true)))
+              .drop("__b")
+              .cache()
+          }
         val admitted = withRobots.filter($"__allowed")
           .select($"canonical_url", $"host", $"host_hash", $"priority", $"discovery_time", $"depth")
           .as[FrontierEntry]
@@ -792,6 +984,19 @@ object CrawlDriver {
               delRows.unionByName(addRows).sort($"canonical_url"))
           }
         } else commitBuilder.replace("pending", newPending)
+        if (tableRobots) {
+          // robots rows are crawl state: this wave's acquisitions (plus any
+          // resume-bootstrap rows not yet durable) ride the wave commit;
+          // until it lands, reads union them in as the in-flight delta
+          val (rApp, hApp) = robotsUncommitted match {
+            case Some((ur, uh)) =>
+              (ur.unionByName(newRuleRows), uh.unionByName(newHostRows))
+            case None => (newRuleRows, newHostRows)
+          }
+          robotsUncommitted = None
+          commitBuilder.append(RobotsRules, rApp).append(RobotsHosts, hApp)
+          robotsDelta = (rApp, hApp)
+        }
         commitBuilder
           .append("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
           .append("trace", wTrace.toDF())

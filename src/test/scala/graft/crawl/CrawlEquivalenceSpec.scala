@@ -356,6 +356,51 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("robots as SNAPSHOT TABLES (robotsStorage=table): join-based " +
+    "admission == oracle in fixture mode; rules persisted with lineage") {
+    val cfg = mkCfg(nSeeds = 16, budget = 2, hosts = 4, pages = 20)
+    val (o, _) = new RefCrawler(cfg).run()
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root, CrawlDriver.EngineConfig(robotsStorage = "table"))
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+    val store = new graft.sources.SnapshotStore(root, spark)
+    assert(store.read("robots_rules").count() === cfg.robots.size.toLong,
+      "config rules not persisted as crawl state")
+  }
+
+  test("robots as SNAPSHOT TABLES + ACQUISITION (+ Crawl-delay budgets): " +
+    "fully distributed resolution == oracle; resume reads rules back from " +
+    "the store; the full 10^10 config (lazy+mor+store+table) stays bit-green") {
+    import spark.implicits._
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    val delays = Map("host0.test" -> 30.0, "host2.test" -> 60.0) // budgets 2, 1
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(24, web), budgetPerHost = 4,
+      maxWaves = 1000, web = web, robots = Nil, fetchRobotsTxt = true,
+      fetcherOverride = Some(DelayRobotsFetcher(web, delays)))
+    val (o, _) = new RefCrawler(cfg).run()
+    val eng = CrawlDriver.EngineConfig(robotsStorage = "table")
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root, eng)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+    val store = new graft.sources.SnapshotStore(root, spark)
+    assert(store.read("robots_rules").count() > 0, "no acquired rules persisted")
+    assert(store.read("robots_hosts").filter($"budget".isNotNull).count() === 2L,
+      "Crawl-delay budgets not persisted")
+    // resume: robots state comes back from the TABLE — no refetch pre-pass
+    val root2 = tmp()
+    CrawlDriver.run(spark, cfg.copy(maxWaves = 2), root2, eng)
+    CrawlDriver.resume(spark, cfg, root2, eng)
+    assertEqualResults(o, CrawlDriver.result(spark, root2))
+    // the full 10^10 configuration: nothing (filter, seen, frontier, robots)
+    // is ever driver- or cache-resident whole
+    val engFull = CrawlDriver.EngineConfig(filterDistribution = "lazy",
+      pendingStorage = "mor", seenStorage = "store", robotsStorage = "table")
+    val root3 = tmp()
+    val h = CrawlDriver.run(spark, cfg, root3, engFull)
+    assert(h.filterBroadcasts === 0)
+    assertEqualResults(o, CrawlDriver.result(spark, root3))
+  }
+
   test("wave metrics roll up to oracle per-wave totals") {
     import spark.implicits._
     val cfg = mkCfg(nSeeds = 24, budget = 2)
