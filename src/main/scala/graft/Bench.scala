@@ -206,6 +206,14 @@ object Bench {
         val rRobots = runCrawl(32, parseIters, timedRuns = 1, fetchRobots = true)
         require(rRobots.fetched == r32.fetched && rRobots.deduped == r32.deduped,
           s"robots-acquisition crawl diverged: $rRobots vs $r32")
+        // acquisition + robots-as-TABLE (the 10^7-host distribution:
+        // anti-join host discovery, join-based admission/selection, zero
+        // driver-resident robots bytes) — same output, measured cost
+        val rRobotsT = runCrawl(32, parseIters, timedRuns = 1,
+          eng = CrawlDriver.EngineConfig(robotsStorage = "table"),
+          fetchRobots = true)
+        require(rRobotsT.fetched == r32.fetched && rRobotsT.deduped == r32.deduped,
+          s"table-robots crawl diverged: $rRobotsT vs $r32")
         val eff416 = (r16.urlsPerSec / r4.urlsPerSec) / 4.0
         val eff832 = (r32.urlsPerSec / r8.urlsPerSec) / 4.0
         f"""{"fetched":${r4.fetched},"deduped":${r4.deduped},""" +
@@ -223,7 +231,9 @@ object Bench {
           f""""urls_per_sec_32_scale_mode":${rScale.urlsPerSec}%.0f,""" +
           f""""scale_mode_vs_broadcast":${rScale.urlsPerSec / r32.urlsPerSec}%.3f,""" +
           f""""urls_per_sec_32_robots_fetch":${rRobots.urlsPerSec}%.0f,""" +
-          f""""robots_fetch_vs_fixture":${rRobots.urlsPerSec / r32.urlsPerSec}%.3f}"""
+          f""""robots_fetch_vs_fixture":${rRobots.urlsPerSec / r32.urlsPerSec}%.3f,""" +
+          f""""urls_per_sec_32_robots_table":${rRobotsT.urlsPerSec}%.0f,""" +
+          f""""robots_table_vs_fixture":${rRobotsT.urlsPerSec / r32.urlsPerSec}%.3f}"""
       }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +

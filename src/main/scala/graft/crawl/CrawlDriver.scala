@@ -83,6 +83,15 @@ object CrawlDriver {
         * 10^7+-host path (and rules gain lineage/time-travel/resume like
         * all crawl state). Output-invariant; EQ-asserted. */
       robotsStorage: String = "broadcast",
+      /** table mode: below this many robots rows the host-dimension side of
+        * the selection/admission joins gets an explicit broadcast() hint —
+        * the in-flight delta is RDD-backed (no size stats), which would
+        * otherwise push Spark to sort-merge-join the WAVE-sized side
+        * against a tiny host table. Past the threshold (the 10^7-host
+        * regime) the hint is withheld and the planner shuffles on host,
+        * which is then the right shape. Strategy-only: never changes
+        * output. */
+      robotsBroadcastMaxRows: Long = 1L << 20,
       compactPendingEvery: Int = 8,
       verbose: Boolean = false)
 
@@ -496,6 +505,16 @@ object CrawlDriver {
           emptyDf(spark, robotsHostsSchema)))
     var robotsUncommitted: Option[(DataFrame, DataFrame)] =
       if (fast.isEmpty) robotsTables0 else None
+    // driver-tracked upper bound on robots-table rows, steering the
+    // broadcast hint (the tables themselves are never collected)
+    var robotsRowsApprox: Long =
+      if (!tableRobots) 0L
+      else if (fast.nonEmpty) math.max(cfg.robots.size.toLong, knownHosts.size.toLong * 4)
+      else if (store.currentManifest.exists(_.tables.contains(RobotsRules)))
+        store.read(RobotsRules).count() + store.read(RobotsHosts).count()
+      else cfg.robots.size.toLong + 256
+    def hintRobots(df: DataFrame): DataFrame =
+      if (robotsRowsApprox <= eng.robotsBroadcastMaxRows) broadcast(df) else df
 
     // Seen-filter plumbing, shared by bloom and cuckoo: the shard build is
     // an executor-side Aggregator grouped by host-hash shard — only S tiny
@@ -670,7 +689,7 @@ object CrawlDriver {
             val hostsAll = readRobots(spark, store, RobotsHosts)
               .unionByName(robotsDelta._2)
               .groupBy($"host").agg(min($"budget").as("__tb")) // store/delta dedupe
-            val rankedB = ranked.join(hostsAll, Seq("host"), "left")
+            val rankedB = ranked.join(hintRobots(hostsAll), Seq("host"), "left")
               .withColumn("__budget",
                 coalesce(overrideU($"host"), $"__tb", lit(defaultBudget)))
             val fcols = frontierSchema.fieldNames.map(col).toSeq
@@ -838,7 +857,7 @@ object CrawlDriver {
             val ua = userAgent
             val wp = wavePeriod
             val res = tagged.select($"host").distinct()
-              .join(hostsKnown.select($"host"), Seq("host"), "left_anti")
+              .join(hintRobots(hostsKnown.select($"host")), Seq("host"), "left_anti")
               .as[String]
               .mapPartitions(_.map { h =>
                 fetcher.fetchRobots(h) match {
@@ -855,6 +874,7 @@ object CrawlDriver {
               })
               .toDF("host", "rules", "budget")
               .localCheckpoint(false) // one fetch per host; reused 3×
+            robotsRowsApprox += 5 * res.count() // hosts + their few rules
             (res.select($"host", explode($"rules").as("r"))
               .select($"host", $"r._1".as("path_prefix"),
                 $"r._2".as("allow"), $"r._3".as("rule_order")),
@@ -908,7 +928,7 @@ object CrawlDriver {
           } else {
             val pathU = udf((u: String) => CanonicalUrl.path(u))
             val rulesAll = rulesKnown.unionByName(newRuleRows)
-            numbered.join(rulesAll, Seq("host"), "left")
+            numbered.join(hintRobots(rulesAll), Seq("host"), "left")
               .withColumn("__m", $"path_prefix".isNotNull &&
                 pathU($"canonical_url").startsWith($"path_prefix"))
               .groupBy($"canonical_url", $"host", $"host_hash",

@@ -1,0 +1,60 @@
+package graft.tools
+
+import graft.crawl.{CrawlConfig, CrawlDriver, SyntheticWeb}
+import org.apache.spark.sql.SparkSession
+
+/** Quick A/B timing of engine configurations on the wide-wave bench crawl
+  * (one warm + one timed run per mode, one shared session) — for iterating
+  * on a single mode without paying the full Bench scaling matrix.
+  * Usage: sbt "runMain graft.tools.CrawlModeBench [cores] [parseIters] [mode ...]"
+  * Modes: fixture | fetch | table | scale | scale-table
+  */
+object CrawlModeBench {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.length > 0) args(0).toInt else 32
+    val iters = if (args.length > 1) args(1).toLong else 8000000L
+    val modes = if (args.length > 2) args.drop(2).toSeq
+                else Seq("fixture", "table")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]").appName("crawl-mode-bench")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def cfgOf(pages: Int, seeds: Int, cap: Long, fetchRobots: Boolean) = {
+      val web = SyntheticWeb.WebConfig(hosts = 64, pagesPerHost = pages,
+        parseWorkIters = iters)
+      val base = CrawlConfig(SyntheticWeb.seedUrls(seeds, web), 1000, 2, cap,
+        web = web, robots = SyntheticWeb.robotsFixture(web))
+      if (fetchRobots) base.copy(robots = Nil, fetchRobotsTxt = true) else base
+    }
+    def engOf(mode: String): (CrawlDriver.EngineConfig, Boolean) = mode match {
+      case "fixture"     => (CrawlDriver.EngineConfig(), false)
+      case "fetch"       => (CrawlDriver.EngineConfig(), true)
+      case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
+      case "scale"       => (CrawlDriver.EngineConfig(filterDistribution = "lazy",
+        pendingStorage = "mor", seenStorage = "store"), false)
+      case "scale-table" => (CrawlDriver.EngineConfig(filterDistribution = "lazy",
+        pendingStorage = "mor", seenStorage = "store", robotsStorage = "table"), true)
+      case other => throw new IllegalArgumentException(s"unknown mode '$other'")
+    }
+
+    modes.foreach { m =>
+      val (eng, fetch) = engOf(m)
+      // warm (small), then timed (the Bench wide-wave regime)
+      CrawlDriver.run(spark, cfgOf(101, 2000, 5000, fetch),
+        java.nio.file.Files.createTempDirectory("cmb-warm").toString, eng)
+      val cfg = cfgOf(2001, 60000, 60000, fetch)
+      val root = java.nio.file.Files.createTempDirectory("cmb").toString
+      val t0 = System.nanoTime()
+      val h = CrawlDriver.run(spark, cfg, root, eng)
+      val secs = (System.nanoTime() - t0) / 1e9
+      import org.apache.spark.sql.functions._
+      val deduped = h.store.read("metrics").agg(sum("deduped")).head().getLong(0)
+      println(f"[mode-bench] mode=$m fetched=${h.fetchedTotal} deduped=$deduped " +
+        f"secs=$secs%.1f urls_per_sec=${(h.fetchedTotal + deduped) / secs}%.0f")
+    }
+    spark.stop()
+  }
+}
