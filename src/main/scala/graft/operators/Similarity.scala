@@ -30,7 +30,34 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with EXACTLY the fold the oracle uses: promote to double,
+    * accumulate dot and both square-norms in one ascending-index pass,
+    * then dot / (sqrt(na) * sqrt(nb)). Implemented as a typed UDF rather
+    * than composed zip_with/aggregate Columns: the higher-order-function
+    * trees are CodegenFallback and interpret a closure per element, ~an
+    * order of magnitude more per-row overhead than this one JIT'd loop on
+    * every ANN/near-dup hot path — while the IEEE operation sequence (and
+    * therefore every output bit) is identical, which the DuckDB hash gate
+    * re-proves. [[dot]]/[[norm]] remain the Column-composed spelling.
+    */
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
 
   /** Exact cosine top-k: for each query vector (filtered by `isQuery`),
     * the k nearest other vectors. One broadcast of the (small) query side;
