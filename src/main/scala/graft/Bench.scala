@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   *    "crawl_scaling":{...}}
   *
   * Part 1: every SparkEntry query timed at $SPARK_GRAFT_SF_DIR under
-  * local[$SPARK_GRAFT_CPUS].
+  * local[$SPARK_GRAFT_CPUS] — min of $SPARK_GRAFT_QUERY_REPS (default 3)
+  * in-session reps per query, plus a noise sentinel (3 canaries re-timed
+  * at the end; rerun/min ratio published).
   * Part 2 (BASELINE.md scaling protocol): the full crawl wave loop run at
   * two parallelism levels — local[8] vs local[32] on the same input (no
   * real cluster exists in this sandbox; 4x cores stands in for N->4N
@@ -133,10 +135,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
     // ---- part 1: driver-contract queries (failures are NOT swallowed:
-    // a broken query reports its error in the JSON, not a plausible timing)
-    val results =
+    // a broken query reports its error in the JSON, not a plausible timing).
+    // Each query is timed `queryReps` times IN-SESSION and the MIN is
+    // published — a single-rep gate number on a shared noisy box can (and
+    // in round 3 did) misreport the round by >2x on pure host contention;
+    // min-of-k matches the crawl legs' protocol. A noise SENTINEL re-times
+    // three canary queries after the full pass and publishes the rerun/min
+    // ratio, so a reader can tell a regression from a box that degraded
+    // mid-run.
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val canaries = Seq("q_url_canonicalize", "q_anti_join", "q_ann_ivf")
+    val (results, sentinelJson) =
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1"))
-        Seq.empty[(String, Double, Option[String])]
+        (Seq.empty[(String, Double, Option[String])], "null")
       else {
         val spark = newSession(cpus.toInt)
         // session warm-up: table reads + a shuffle + a window, so the
@@ -148,15 +159,39 @@ object Bench {
           spark.read.parquet(s"$sfDir/documents.parquet").count()
           spark.read.parquet(s"$sfDir/embeddings.parquet").count()
         } catch { case _: Throwable => }
-        val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def timeOnce(name: String): (Double, Option[String]) = {
           val t0 = System.nanoTime()
-          val err = try { fn(spark, sfDir).count(); None } catch {
-            case e: Throwable => Some(e.toString.take(200))
-          }
-          (name, (System.nanoTime() - t0) / 1e9, err)
+          val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.toString.take(200)) }
+          ((System.nanoTime() - t0) / 1e9, err)
         }
+        def timeMin(name: String): (Double, Option[String]) = {
+          var best = Double.MaxValue
+          var err: Option[String] = None
+          var rep = 0
+          while (rep < queryReps && err.isEmpty) {
+            val (s, e) = timeOnce(name)
+            best = math.min(best, s)
+            err = e
+            rep += 1
+          }
+          (best, err)
+        }
+        val rs = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+          val (s, e) = timeMin(name)
+          (name, s, e)
+        }
+        val mins = rs.map { case (k, v, _) => k -> v }.toMap
+        val sentinels = canaries.filter(mins.contains).map { c =>
+          val (s, _) = timeOnce(c)
+          c -> s / math.max(mins(c), 1e-9)
+        }
+        val sj =
+          if (sentinels.isEmpty) "null"
+          else sentinels.map { case (k, r) => "\"" + k + f"""\":$r%.2f""" }
+            .mkString("{", ",", s""","max":${f"${sentinels.map(_._2).max}%.2f"}}""")
         spark.stop()
-        rs
+        (rs, sj)
       }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -197,19 +232,21 @@ object Bench {
         // the 10^10-mode engine on the same input: output must be identical,
         // throughput is the scale path's cost of never materializing the
         // filter/frontier whole
-        val rScale = runCrawl(32, parseIters, timedRuns = 1, eng = scaleModeEngine)
+        // mode-ratio legs run min-of-2 (same noise-proofing as the scaling
+        // legs: a 1-rep ratio on a noisy box is not a publishable number)
+        val rScale = runCrawl(32, parseIters, timedRuns = 2, eng = scaleModeEngine)
         require(rScale.fetched == r32.fetched && rScale.deduped == r32.deduped,
           s"scale-mode engine diverged: $rScale vs $r32")
         // robots ACQUISITION mode on the same input: rules come from the
         // web's own robots pages (== fixture rules), so output must be
         // bit-identical; throughput shows what in-crawl acquisition costs
-        val rRobots = runCrawl(32, parseIters, timedRuns = 1, fetchRobots = true)
+        val rRobots = runCrawl(32, parseIters, timedRuns = 2, fetchRobots = true)
         require(rRobots.fetched == r32.fetched && rRobots.deduped == r32.deduped,
           s"robots-acquisition crawl diverged: $rRobots vs $r32")
         // acquisition + robots-as-TABLE (the 10^7-host distribution:
         // anti-join host discovery, join-based admission/selection, zero
         // driver-resident robots bytes) — same output, measured cost
-        val rRobotsT = runCrawl(32, parseIters, timedRuns = 1,
+        val rRobotsT = runCrawl(32, parseIters, timedRuns = 2,
           eng = CrawlDriver.EngineConfig(robotsStorage = "table"),
           fetchRobots = true)
         require(rRobotsT.fetched == r32.fetched && rRobotsT.deduped == r32.deduped,
@@ -237,6 +274,7 @@ object Bench {
       }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""query_reps":$queryReps,"noise_sentinel":$sentinelJson,""" +
       f""""errors":$errJson,"sf":"$sfDir","crawl_scaling":$scalingJson}""")
   }
 }

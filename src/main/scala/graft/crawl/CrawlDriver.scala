@@ -101,7 +101,15 @@ object CrawlDriver {
                        filterBroadcasts: Int = 0,
                        /** widest the cached seen-slice union ever got —
                          * bounded by rerootSeenEvery+1 (asserted in tests). */
-                       maxSeenSlices: Int = 0)
+                       maxSeenSlices: Int = 0,
+                       /** table-robots mode: how often the host-dimension
+                         * side of a selection/admission join got the
+                         * explicit broadcast() hint vs had it withheld
+                         * (the >robotsBroadcastMaxRows shuffled-join
+                         * regime) — lets tests pin the strategy branch
+                         * actually taken. */
+                       robotsHintsApplied: Int = 0,
+                       robotsHintsWithheld: Int = 0)
 
   /** run()-path a-priori initial state: hints + the deferred wave-0 commit
     * (committed asynchronously on the inFlight rail, awaited before the
@@ -157,12 +165,20 @@ object CrawlDriver {
   private val PendingDelta = "pending_delta"
 
   // ---- robots-as-table layout (robotsStorage = "table") --------------------
+  // Both tables are append-only and WAVE-STAMPED: `robots_hosts` records one
+  // row per (host, fetch event) and `robots_rules` that event's parsed
+  // rules. Resolution is LATEST-WAVE-WINS per host (a re-fetch fully
+  // supersedes the host's earlier rules and budget — real robots.txt
+  // bodies change over time), so recency is a pure read-side aggregate and
+  // rules keep lineage/time-travel like all crawl state. Hosts absent from
+  // `robots_hosts` (fixture-mode config rules) have no fetch events and
+  // their rules are always active.
   private val RobotsRules = "robots_rules"
   private val RobotsHosts = "robots_hosts"
   private def robotsRulesSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "host STRING, path_prefix STRING, allow BOOLEAN, rule_order INT")
+    "host STRING, path_prefix STRING, allow BOOLEAN, rule_order INT, wave INT")
   private def robotsHostsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "host STRING, budget INT")
+    "host STRING, budget INT, wave INT")
 
   private def emptyDf(spark: SparkSession,
                       schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -185,17 +201,18 @@ object CrawlDriver {
     */
   private def robotsDfs(spark: SparkSession,
                         rules: Seq[RobotsRule],
-                        hosts: Seq[(String, Option[Int])])
+                        hosts: Seq[(String, Option[Int])],
+                        wave: Int)
   : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.Row
     val r = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        rules.map(x => Row(x.host, x.path_prefix, x.allow, x.rule_order)),
+        rules.map(x => Row(x.host, x.path_prefix, x.allow, x.rule_order, wave)),
         math.max(1, math.min(4, rules.size))),
       robotsRulesSchema)
     val h = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        hosts.map(x => Row(x._1, x._2.map(Integer.valueOf).orNull)),
+        hosts.map(x => Row(x._1, x._2.map(Integer.valueOf).orNull, wave)),
         math.max(1, math.min(4, hosts.size))),
       robotsHostsSchema)
     (r, h)
@@ -358,7 +375,7 @@ object CrawlDriver {
             (knownHosts.toSeq.sorted.flatMap(h => rulesByHost.getOrElse(h, Nil)),
               knownHosts.toSeq.sorted.map(h => h -> budgetsByHost.get(h)))
           else (cfg.robots, Seq.empty[(String, Option[Int])])
-        val (rdf, hdf) = robotsDfs(spark, ruleRows, hostRows)
+        val (rdf, hdf) = robotsDfs(spark, ruleRows, hostRows, wave = 0)
         wave0.append(RobotsRules, rdf).append(RobotsHosts, hdf)
         Some((rdf, hdf))
       }
@@ -426,24 +443,34 @@ object CrawlDriver {
     var robotsTables0: Option[(DataFrame, DataFrame)] = None
     if (eng.robotsStorage == "table") {
       // robots state is durable crawl state: read it back — nothing to
-      // refetch. A store written in broadcast mode lacks the tables; then
-      // bootstrap exactly like the broadcast pre-pass, as a delta.
+      // refetch (unless cfg.refetchRobotsOnResume asks for RECENCY: then
+      // the pending hosts re-fetch and their new rows — stamped with the
+      // resumed wave — supersede the stored ones via latest-wave-wins). A
+      // store written in broadcast mode lacks the tables; then bootstrap
+      // exactly like the broadcast pre-pass, as a delta.
+      val resumedWave =
+        store.currentManifest.map(_.summary("wave").toInt + 1).getOrElse(1)
+      def refetchPendingHosts(): (DataFrame, DataFrame) = {
+        import spark.implicits._
+        val hosts = readPending(spark, store)
+          .select($"host").distinct().as[String].collect().toSeq
+        val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
+        val rules = resolved.flatMap(hr =>
+          if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil))
+        val hostRows = resolved.map(hr => hr.host -> hr.delay.map(d =>
+          graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds)))
+        robotsDfs(spark, rules, hostRows, resumedWave)
+      }
       robotsTables0 =
-        if (store.currentManifest.exists(_.tables.contains(RobotsRules)))
-          Some((emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema)))
-        else if (!cfg.fetchRobotsTxt)
-          Some(robotsDfs(spark, cfg.robots, Nil))
-        else {
-          import spark.implicits._
-          val hosts = readPending(spark, store)
-            .select($"host").distinct().as[String].collect().toSeq
-          val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
-          val rules = resolved.flatMap(hr =>
-            if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil))
-          val hostRows = resolved.map(hr => hr.host -> hr.delay.map(d =>
-            graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds)))
-          Some(robotsDfs(spark, rules, hostRows))
+        if (store.currentManifest.exists(_.tables.contains(RobotsRules))) {
+          if (cfg.fetchRobotsTxt && cfg.refetchRobotsOnResume)
+            Some(refetchPendingHosts())
+          else
+            Some((emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema)))
         }
+        else if (!cfg.fetchRobotsTxt)
+          Some(robotsDfs(spark, cfg.robots, Nil, resumedWave))
+        else Some(refetchPendingHosts())
     } else if (cfg.fetchRobotsTxt) {
       import spark.implicits._
       val hosts = readPending(spark, store)
@@ -505,16 +532,29 @@ object CrawlDriver {
           emptyDf(spark, robotsHostsSchema)))
     var robotsUncommitted: Option[(DataFrame, DataFrame)] =
       if (fast.isEmpty) robotsTables0 else None
+    // true while robotsDelta's rows ride a commit still in flight; once that
+    // commit is awaited the store covers them and the delta resets to empty
+    // (otherwise last wave's rows stay unioned into every later plan and
+    // the per-wave caches backing them can never be dropped)
+    var robotsDeltaInFlight: Boolean = fast.exists(_.robotsDelta.nonEmpty)
     // driver-tracked upper bound on robots-table rows, steering the
-    // broadcast hint (the tables themselves are never collected)
+    // broadcast hint (the tables themselves are never collected; per-wave
+    // growth is aggregated from the actual acquired rule counts)
     var robotsRowsApprox: Long =
       if (!tableRobots) 0L
-      else if (fast.nonEmpty) math.max(cfg.robots.size.toLong, knownHosts.size.toLong * 4)
+      else if (fast.nonEmpty)
+        math.max(cfg.robots.size.toLong,
+          knownHosts.size.toLong +
+            knownHosts.iterator.map(h => rulesByHost.getOrElse(h, Nil).size.toLong).sum)
       else if (store.currentManifest.exists(_.tables.contains(RobotsRules)))
         store.read(RobotsRules).count() + store.read(RobotsHosts).count()
       else cfg.robots.size.toLong + 256
+    var robotsHintsApplied = 0
+    var robotsHintsWithheld = 0
     def hintRobots(df: DataFrame): DataFrame =
-      if (robotsRowsApprox <= eng.robotsBroadcastMaxRows) broadcast(df) else df
+      if (robotsRowsApprox <= eng.robotsBroadcastMaxRows) {
+        robotsHintsApplied += 1; broadcast(df)
+      } else { robotsHintsWithheld += 1; df }
 
     // Seen-filter plumbing, shared by bloom and cuckoo: the shard build is
     // an executor-side Aggregator grouped by host-hash shard — only S tiny
@@ -638,6 +678,11 @@ object CrawlDriver {
       case None => scala.concurrent.Future.successful(None)
     }
     var prevWaveCaches: List[DataFrame] = Nil
+    // per-wave robots-acquisition localCheckpoints, freed on a two-await
+    // delay: the newest entry may still back cached plans built this wave
+    // (a localCheckpoint's blocks are NOT recomputable once dropped), so
+    // each await releases only entries older than the most recent
+    var robotsResQueue: List[DataFrame] = Nil
 
     def awaitInFlight(): Unit = {
       scala.concurrent.Await
@@ -651,8 +696,19 @@ object CrawlDriver {
           case NewGen(g) => filterGen = g
         }
       inFlight = scala.concurrent.Future.successful(None)
+      if (tableRobots && robotsDeltaInFlight) {
+        // the commit carrying the delta rows has landed: the store read now
+        // covers them — drop the in-memory union arm
+        robotsDelta = (emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema))
+        robotsDeltaInFlight = false
+      }
       prevWaveCaches.foreach(_.unpersist())
       prevWaveCaches = Nil
+      if (robotsResQueue.length > 1) {
+        val (old, recent) = robotsResQueue.splitAt(robotsResQueue.length - 1)
+        old.foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
+        robotsResQueue = recent
+      }
     }
 
     var done = false
@@ -686,9 +742,13 @@ object CrawlDriver {
               ranked.filter($"__rk" > budgetOf($"host")).drop("__rk").as[FrontierEntry])
           } else {
             val overrideU = udf((h: String) => hostBudgetsB.value.get(h))
+            // latest-wave-wins per host: the most recent fetch event's
+            // budget applies (duplicate store/delta rows are identical, so
+            // the max is also the dedupe)
             val hostsAll = readRobots(spark, store, RobotsHosts)
               .unionByName(robotsDelta._2)
-              .groupBy($"host").agg(min($"budget").as("__tb")) // store/delta dedupe
+              .groupBy($"host").agg(max(struct($"wave", $"budget")).as("__s"))
+              .select($"host", $"__s.budget".as("__tb"))
             val rankedB = ranked.join(hintRobots(hostsAll), Seq("host"), "left")
               .withColumn("__budget",
                 coalesce(overrideU($"host"), $"__tb", lit(defaultBudget)))
@@ -849,6 +909,7 @@ object CrawlDriver {
         val hostsKnown =
           if (!tableRobots) null
           else readRobots(spark, store, RobotsHosts).unionByName(robotsDelta._2)
+        var waveRobotsRes: Option[DataFrame] = None
         val (newRuleRows, newHostRows): (DataFrame, DataFrame) =
           if (!tableRobots || !cfg.fetchRobotsTxt)
             (emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema))
@@ -873,12 +934,27 @@ object CrawlDriver {
                 }
               })
               .toDF("host", "rules", "budget")
+              // localCheckpoint is LOAD-BEARING here, not just a
+              // materialization: these rows flow into robotsDelta, which
+              // the NEXT wave's selection plan embeds — without truncation
+              // each wave's plan would nest the previous wave's whole plan
+              // (selection AND admission arms) and the tree grows without
+              // bound (OOM at ~15 waves, measured). The blocks are freed
+              // explicitly two awaits later via robotsResQueue.
               .localCheckpoint(false) // one fetch per host; reused 3×
-            robotsRowsApprox += 5 * res.count() // hosts + their few rules
+            waveRobotsRes = Some(res)
+            // the ACTUAL acquired row count (hosts + their rules), not a
+            // per-host heuristic: real robots.txt files carry dozens-to-
+            // hundreds of rules, and the broadcast hint must switch off at
+            // the row bound it claims to protect
+            val stats = res.agg(count(lit(1)).as("h"),
+              coalesce(sum(size($"rules")), lit(0L)).as("r")).head()
+            robotsRowsApprox += stats.getLong(0) + stats.getLong(1)
             (res.select($"host", explode($"rules").as("r"))
               .select($"host", $"r._1".as("path_prefix"),
-                $"r._2".as("allow"), $"r._3".as("rule_order")),
-              res.select($"host", $"budget"))
+                $"r._2".as("allow"), $"r._3".as("rule_order"))
+              .withColumn("wave", lit(wave)),
+              res.select($"host", $"budget").withColumn("wave", lit(wave)))
           }
 
         val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe")
@@ -927,7 +1003,19 @@ object CrawlDriver {
             numbered.withColumn("__allowed", allowedUdf($"canonical_url")).cache()
           } else {
             val pathU = udf((u: String) => CanonicalUrl.path(u))
+            // LATEST-WAVE-WINS: a host's most recent fetch event (from the
+            // hosts table, incl. this wave's acquisitions) fully supersedes
+            // its earlier rule rows — robots recency under re-fetch. Hosts
+            // with no fetch events (fixture-mode config rules) have no
+            // hosts-table rows and stay active. Dimension × dimension join:
+            // both sides are host-sized, shuffled (or broadcast, same hint
+            // policy) by host exactly like the main admission join.
+            val latestFetch = hostsKnown.unionByName(newHostRows)
+              .groupBy($"host").agg(max($"wave").as("__lw"))
             val rulesAll = rulesKnown.unionByName(newRuleRows)
+              .join(hintRobots(latestFetch), Seq("host"), "left")
+              .filter($"__lw".isNull || $"wave" === $"__lw")
+              .drop("__lw", "wave")
             numbered.join(hintRobots(rulesAll), Seq("host"), "left")
               .withColumn("__m", $"path_prefix".isNotNull &&
                 pathU($"canonical_url").startsWith($"path_prefix"))
@@ -1016,6 +1104,7 @@ object CrawlDriver {
           robotsUncommitted = None
           commitBuilder.append(RobotsRules, rApp).append(RobotsHosts, hApp)
           robotsDelta = (rApp, hApp)
+          robotsDeltaInFlight = true
         }
         commitBuilder
           .append("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
@@ -1064,6 +1153,7 @@ object CrawlDriver {
         carriedPendingCount = Some(deferredCount + (discovered - denied))
         pendingDF = newPending
         prevWaveCaches = List(ranked.toDF(), selected, parsed, tagged, withRobots)
+        robotsResQueue = robotsResQueue ++ waveRobotsRes
         if (cachedSeen) {
           seenSlices :+= newSeen
           maxSeenSlices = math.max(maxSeenSlices, seenSlices.size)
@@ -1088,11 +1178,14 @@ object CrawlDriver {
       }
     }
     // long-crawl hygiene: drop the in-memory seen slices (state re-roots
-    // from the store on resume) and reclaim superseded filter generations
+    // from the store on resume), release the remaining robots-acquisition
+    // checkpoints, and reclaim superseded filter generations
+    robotsResQueue.foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
     seenSlices.foreach(_.unpersist())
     if (lazyFilters)
       shardStore.get.cleanupBelow(filterGen.baseVersion, filterGen.deltaWaves.toSet)
-    RunHandle(store, wavesRun, fetchedTotal, filterBroadcasts, maxSeenSlices)
+    RunHandle(store, wavesRun, fetchedTotal, filterBroadcasts, maxSeenSlices,
+      robotsHintsApplied, robotsHintsWithheld)
   }
 
   /** Expire URLs — the deletion-safe-dedup flow the cuckoo variant exists

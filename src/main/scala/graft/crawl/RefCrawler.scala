@@ -40,37 +40,44 @@ case class WaveTotals(
   */
 class RefCrawler(cfg: CrawlConfig) {
 
-  private val configRulesByHost: Map[String, Seq[RobotsRule]] =
+  /** Active config — [[runPhased]] swaps it at the phase boundary (models
+    * the engine's resume-with-a-changed-world: new fetcher serving changed
+    * robots bodies).
+    */
+  private var cur: CrawlConfig = cfg
+
+  private var configRulesByHost: Map[String, Seq[RobotsRule]] =
     RobotsEval.byHost(cfg.robots)
 
   /** fetchRobotsTxt mode: lazily resolved per-host robots state — rules
     * fetched+parsed (config rules as fallback for hosts serving none) and
-    * the Crawl-delay-derived politeness budget. Cached: one fetch per host.
+    * the Crawl-delay-derived politeness budget. Cached: one fetch per host
+    * (per phase, for hosts [[runPhased]] invalidates at the boundary).
     */
   private val resolved = scala.collection.mutable
     .HashMap.empty[String, (Seq[RobotsRule], Option[Int])]
 
   private def resolve(host: String): (Seq[RobotsRule], Option[Int]) =
     resolved.getOrElseUpdate(host,
-      cfg.fetcher.fetchRobots(host) match {
+      cur.fetcher.fetchRobots(host) match {
         case Some(txt) =>
-          val p = graft.functions.RobotsTxt.parse(host, txt, cfg.userAgent)
+          val p = graft.functions.RobotsTxt.parse(host, txt, cur.userAgent)
           (p.rules, p.crawlDelaySeconds.map(d =>
-            graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds)))
+            graft.functions.RobotsTxt.budgetForDelay(d, cur.wavePeriodSeconds)))
         case None => (configRulesByHost.getOrElse(host, Nil), None)
       })
 
   private def rulesFor(host: String): Seq[RobotsRule] =
-    if (!cfg.fetchRobotsTxt) configRulesByHost.getOrElse(host, Nil)
+    if (!cur.fetchRobotsTxt) configRulesByHost.getOrElse(host, Nil)
     else resolve(host)._1
 
   /** Politeness budget: explicit config override > fetched Crawl-delay
     * (fetchRobotsTxt mode) > default.
     */
   def effectiveBudget(host: String): Int =
-    cfg.hostBudgets.getOrElse(host,
-      (if (cfg.fetchRobotsTxt) resolve(host)._2 else None)
-        .getOrElse(cfg.budgetPerHost))
+    cur.hostBudgets.getOrElse(host,
+      (if (cur.fetchRobotsTxt) resolve(host)._2 else None)
+        .getOrElse(cur.budgetPerHost))
 
   /** Longest matching path_prefix wins; ties by min rule_order; no rule
     * matching -> allow. (Shared evaluation: [[RobotsEval]].)
@@ -81,7 +88,20 @@ class RefCrawler(cfg: CrawlConfig) {
     RobotsEval.allowed(rulesFor(host), path)
   }
 
-  def run(): (CrawlResult, Seq[WaveTotals]) = {
+  def run(): (CrawlResult, Seq[WaveTotals]) = runPhased(Int.MaxValue, cfg)
+
+  /** Two-phase run modelling the engine's resume-with-recency
+    * ([[CrawlConfig.refetchRobotsOnResume]]): waves 1..switchAfterWave run
+    * under the constructor config, then `cfg2` takes over (typically the
+    * same crawl with a fetcher whose robots bodies CHANGED). At the
+    * boundary, if cfg2 asks for refetch-on-resume, every host still
+    * pending drops its cached robots state and re-resolves through cfg2's
+    * fetcher on next use — fresh rules/Crawl-delay supersede; hosts not
+    * pending keep their phase-1 state until (if ever) re-encountered...
+    * which in table mode is never, because the hosts table suppresses
+    * re-fetch (and this oracle's cache models exactly that).
+    */
+  def runPhased(switchAfterWave: Int, cfg2: CrawlConfig): (CrawlResult, Seq[WaveTotals]) = {
     val seen = mutable.HashSet.empty[String]
     // pending, keyed by host -> ordered buffer; order restored per wave by sort
     val pending = mutable.ArrayBuffer.empty[FrontierEntry]
@@ -107,10 +127,10 @@ class RefCrawler(cfg: CrawlConfig) {
       }
     }
 
-    cfg.seeds.foreach(s => admit(CanonicalUrl.canonicalize(s), depth = 0))
+    cur.seeds.foreach(s => admit(CanonicalUrl.canonicalize(s), depth = 0))
 
     var wave = 1
-    while (pending.nonEmpty && wave <= cfg.maxWaves && fetchedTotal < cfg.maxUrls) {
+    while (pending.nonEmpty && wave <= cur.maxWaves && fetchedTotal < cur.maxUrls) {
       // wave selection: per host, first B in frontier order
       val byHost = pending.groupBy(_.host)
       val selected = byHost.iterator.flatMap { case (host, entries) =>
@@ -128,7 +148,7 @@ class RefCrawler(cfg: CrawlConfig) {
       var denied = 0L
       selected.zipWithIndex.foreach { case (e, i) =>
         trace += TraceRow(wave, i + 1L, e.host, e.canonical_url)
-        val (spans, rawLinks) = cfg.fetcher.fetchParse(e.canonical_url)
+        val (spans, rawLinks) = cur.fetcher.fetchParse(e.canonical_url)
         docs += Doc(e.canonical_url, spans)
         rawLinks.foreach { raw =>
           val c = CanonicalUrl.resolve(e.canonical_url, raw)
@@ -139,6 +159,12 @@ class RefCrawler(cfg: CrawlConfig) {
       fetchedTotal += selected.size
       totals += WaveTotals(wave, selected.size.toLong, discovered, deduped, denied, deferred.toLong)
       wave += 1
+      if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
+        cur = cfg2
+        configRulesByHost = RobotsEval.byHost(cur.robots)
+        if (cur.fetchRobotsTxt && cur.refetchRobotsOnResume)
+          pending.iterator.map(_.host).toSet[String].foreach(h => resolved.remove(h))
+      }
     }
 
     (CrawlResult(trace.toSeq, seen.toSet, docs.toSeq), totals.toSeq)

@@ -136,7 +136,19 @@ case class CrawlConfig(
     /** test/deployment hook: replace the fetch implementation (e.g. a real
       * HTTP fetcher, or a fixture serving custom robots bodies).
       */
-    fetcherOverride: Option[PageFetcher] = None) {
+    fetcherOverride: Option[PageFetcher] = None,
+    /** ROBOTS RECENCY on [[CrawlDriver.resume]] (fetchRobotsTxt mode):
+      * re-fetch `<host>/robots.txt` for every host still pending and let
+      * the fresh rules/Crawl-delay SUPERSEDE the earlier ones — real
+      * robots bodies change over time. In `robotsStorage="table"` mode the
+      * re-fetched rows append at the resumed wave and resolution is
+      * latest-wave-wins; hosts not pending keep their stored rules until
+      * (if ever) re-fetched. Broadcast mode re-resolves pending hosts on
+      * resume regardless (its robots state is not persisted), so the flag
+      * only changes table-mode behavior. Oracle model:
+      * [[RefCrawler.runPhased]].
+      */
+    refetchRobotsOnResume: Boolean = false) {
   /** The fetch implementation; engine and oracle share it. */
   def fetcher: PageFetcher = fetcherOverride.getOrElse(SyntheticFetcher(web))
   /** Static budget (fixture mode); fetch mode layers fetched Crawl-delay

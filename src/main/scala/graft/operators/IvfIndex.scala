@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   * different centroids run to run. Determinism: md5-ordered seeding
   * ([[Similarity.seedCentroids]]) + fixed iteration count (empty lists keep
   * their previous centroid) + pid-ordered merge.
+  *
+  * DRIVER-MERGE BOUND (DESIGN.md §IVF): the per-iteration collect moves
+  * one `nlist × (Dim+1) × 8`-byte buffer per non-empty partition — ~8 KB
+  * at nlist=16/Dim=64, ~2 MB at nlist=4096 — so the driver merge is fine
+  * to ~10^4 partitions (≲ tens of GB/iter at the extreme, typically far
+  * less; a 100-TB corpus trains its quantizer on a SAMPLE, not the full
+  * table, so partition counts stay modest). Beyond that, insert one
+  * deterministic pre-merge level: group partials by `pid / G` (fixed G),
+  * reduce each group in ascending-pid order distributed, then merge the
+  * group sums ascending on the driver — still a fixed summation topology,
+  * therefore still bit-deterministic, at the cost of bits differing from
+  * the flat-merge spelling (re-pin the oracle if ever switched).
   */
 object IvfIndex {
   val Dim = 64

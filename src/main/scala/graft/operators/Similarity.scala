@@ -42,21 +42,30 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
+  /** Null-safe like the previous zip_with/aggregate Column form: a null
+    * array propagates NULL, and ragged lengths yield NULL (zip_with pads
+    * the shorter side with null elements, which poisons the double fold to
+    * null) — a UDF that silently truncated to min length would change
+    * semantics for external callers.
+    */
   private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    val n = math.min(a.length, b.length)
-    var i = 0
-    var d = 0.0
-    var na = 0.0
-    var nb = 0.0
-    while (i < n) {
-      val x = a(i).toDouble
-      val y = b(i).toDouble
-      d += x * y
-      na += x * x
-      nb += y * y
-      i += 1
+    if (a == null || b == null || a.length != b.length) None
+    else {
+      val n = a.length
+      var i = 0
+      var d = 0.0
+      var na = 0.0
+      var nb = 0.0
+      while (i < n) {
+        val x = a(i).toDouble
+        val y = b(i).toDouble
+        d += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      Some(d / (math.sqrt(na) * math.sqrt(nb)))
     }
-    d / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Exact cosine top-k: for each query vector (filtered by `isQuery`),

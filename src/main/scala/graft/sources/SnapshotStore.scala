@@ -37,7 +37,7 @@ import java.nio.charset.StandardCharsets
   * Layout:
   * {{{
   *   root/
-  *     data/<table>/v<version>/part-*.parquet
+  *     data/<table>/v<version>-<tag>/part-*.parquet   // tag: commit-unique
   *     manifests/v<version>.json
   *     CURRENT                       // contains the version number
   * }}}
@@ -66,6 +66,11 @@ case class Manifest(
   * check-before-write + check-before-swap; a true atomic CAS needs the
   * catalog a real deployment provides (documented substitution, SURVEY
   * §7.3) — the wave loop itself is strictly one-committer-at-a-time.
+  * Data dirs are COMMIT-UNIQUE (uuid-tagged), so even commits that
+  * interleave mid-write can never clobber each other's data: whichever
+  * publishes last has a manifest pointing only at its own dirs, and the
+  * loser's dirs are unreferenced orphans reclaimed by
+  * [[SnapshotStore.expireSnapshots]].
   */
 class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
@@ -209,9 +214,19 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       parentManifest.map(_.tables).getOrElse(Map.empty)
     private var summaryMap: Map[String, String] = Map.empty
     private var queued: List[(String, DataFrame, Boolean)] = Nil // (table, df, isAppend)
+    /** Commit-unique data-dir suffix: two commits racing from the same
+      * parent target the SAME version number, and without the tag the loser
+      * would mode("overwrite") the very dirs the winner just published
+      * (detection is check-then-write, not CAS — the loser only fails at
+      * the swap check, after the clobber). With the tag each commit writes
+      * to dirs no other commit can name; a loser's dirs are orphans that
+      * [[expireSnapshots]] garbage-collects (no retained manifest
+      * references them).
+      */
+    private val tag: String = java.util.UUID.randomUUID().toString.take(8)
 
     private def writeData(table: String, df: DataFrame): String = {
-      val rel = s"data/$table/v$newVersion"
+      val rel = s"data/$table/v$newVersion-$tag"
       val abs = rootPath.resolve(rel)
       df.write.mode("overwrite").parquet(abs.toString)
       val files =
@@ -262,23 +277,26 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       this
     }
 
-    /** Write all queued table data (concurrently), then manifest, then
-      * atomically swap CURRENT. Returns the version.
+    private def checkParentCurrent(): Unit = {
+      val now = currentVersion
+      val expect = parentManifest.map(_.version)
+      if (now != expect)
+        throw new ConcurrentCommitException(
+          s"commit based on ${expect.getOrElse("none")} but CURRENT is " +
+            s"${now.getOrElse("none")} — another commit published first")
+    }
+
+    /** Phase 1 (package-private seam for the interleaved-commit test):
+      * write all queued table data as concurrent Spark jobs into this
+      * commit's uuid-tagged dirs. The leading parent check only avoids
+      * wasted writes when obviously stale — dirs being commit-unique is
+      * what guarantees an interleaved loser can never clobber a winner's
+      * data.
       */
-    def commit(): Long = {
+    private[sources] def writeAll(): Unit = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      def checkParentCurrent(): Unit = {
-        val now = currentVersion
-        val expect = parentManifest.map(_.version)
-        if (now != expect)
-          throw new ConcurrentCommitException(
-            s"commit based on ${expect.getOrElse("none")} but CURRENT is " +
-              s"${now.getOrElse("none")} — another commit published first")
-      }
-      // check BEFORE writing: a stale commit must not clobber the data dirs
-      // a competing same-version commit already published
       checkParentCurrent()
       val writes = queued.reverse.map { case (table, df, isAppend) =>
         Future((table, isAppend, ddlOf(df.schema), writeData(table, df)))
@@ -290,6 +308,10 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
             ddl,
             prev.map(_.dataDirs).getOrElse(Nil) :+ dir)
       }
+    }
+
+    /** Phase 2: re-check the parent, then manifest + atomic CURRENT swap. */
+    private[sources] def publish(): Long = {
       Files.createDirectories(rootPath.resolve("manifests"))
       checkParentCurrent() // narrow the publish race to the swap itself
       val m = Manifest(newVersion, parentManifest.map(_.version).getOrElse(-1L),
@@ -301,6 +323,14 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       newVersion
+    }
+
+    /** Write all queued table data (concurrently), then manifest, then
+      * atomically swap CURRENT. Returns the version.
+      */
+    def commit(): Long = {
+      writeAll()
+      publish()
     }
   }
 }

@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.crawl.{CrawlConfig, CrawlDriver, SyntheticWeb}
+import org.apache.spark.sql.SparkSession
+
+/** 10^5-HOST synthetic probe of the full 10^10-scale engine configuration
+  * (lazy filters + MOR pending + store-scanned seen + robots-as-TABLE with
+  * in-crawl acquisition): the host DIMENSION is the thing the table-robots
+  * machinery exists for, and the unit tests exercise it only at 4–64
+  * hosts. One seed per host, so wave 1 alone fetches `hosts` URLs and the
+  * robots tables carry `hosts` host rows + ~0.4·hosts rule rows through
+  * the join-based selection/admission path.
+  *
+  * Runs the SAME input twice — broadcast-hinted host joins (default
+  * threshold) and hint WITHHELD (`robotsBroadcastMaxRows=0`, the 10^7-host
+  * shuffled-join regime) — asserting identical outputs and reporting wall
+  * time for both (recorded in BASELINE.md).
+  *
+  * Usage: sbt "runMain graft.tools.WideHostProbe [cores] [hosts] [maxWaves]"
+  */
+object WideHostProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.length > 0) args(0).toInt else 32
+    val hosts = if (args.length > 1) args(1).toInt else 100000
+    val maxWaves = if (args.length > 2) args(2).toInt else 2
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]").appName("wide-host-probe")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val web = SyntheticWeb.WebConfig(hosts = hosts, pagesPerHost = 6)
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(hosts, web), budgetPerHost = 2,
+      maxWaves = maxWaves, maxUrls = 3L * hosts, web = web,
+      robots = Nil, fetchRobotsTxt = true)
+    val engFull = CrawlDriver.EngineConfig(filterDistribution = "lazy",
+      pendingStorage = "mor", seenStorage = "store", robotsStorage = "table")
+
+    // small warm-up (JIT + session init)
+    val warmWeb = SyntheticWeb.WebConfig(hosts = 512, pagesPerHost = 6)
+    CrawlDriver.run(spark,
+      CrawlConfig(SyntheticWeb.seedUrls(512, warmWeb), 2, 2, 1536, warmWeb,
+        robots = Nil, fetchRobotsTxt = true),
+      java.nio.file.Files.createTempDirectory("whp-warm").toString, engFull)
+
+    def timed(label: String, eng: CrawlDriver.EngineConfig): (Long, Long) = {
+      val root = java.nio.file.Files.createTempDirectory(s"whp-$label").toString
+      val t0 = System.nanoTime()
+      val h = CrawlDriver.run(spark, cfg, root, eng)
+      val secs = (System.nanoTime() - t0) / 1e9
+      import org.apache.spark.sql.functions._
+      val deduped = h.store.read("metrics").agg(sum("deduped")).head().getLong(0)
+      val nRules = h.store.read("robots_rules").count()
+      val nHosts = h.store.read("robots_hosts").count()
+      println(f"[wide-host] $label hosts=$hosts fetched=${h.fetchedTotal} " +
+        f"deduped=$deduped robots_rules=$nRules robots_hosts=$nHosts " +
+        f"hints_applied=${h.robotsHintsApplied} hints_withheld=${h.robotsHintsWithheld} " +
+        f"secs=$secs%.1f urls_per_sec=${(h.fetchedTotal + deduped) / secs}%.0f")
+      (h.fetchedTotal, deduped)
+    }
+
+    val a = timed("hinted", engFull)
+    val b = timed("withheld", engFull.copy(robotsBroadcastMaxRows = 0))
+    require(a == b, s"strategy knob changed output: $a vs $b")
+    println("[wide-host] outputs identical across hint regimes")
+    spark.stop()
+  }
+}

@@ -11,4 +11,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Free the block-manager storage behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only consults the CacheManager, which knows
+    * nothing about checkpoint RDDs — without this, every localCheckpoint
+    * lives until the ContextCleaner's weak-reference GC happens to run
+    * (unbounded block-manager growth over a long crawl's wave loop).
+    * No-op for non-checkpointed plans.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

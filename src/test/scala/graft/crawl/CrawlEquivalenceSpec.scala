@@ -24,6 +24,20 @@ case class DelayRobotsFetcher(web: SyntheticWeb.WebConfig,
   }
 }
 
+/** Fetcher serving CHANGED robots bodies (phase 2 of the recency test):
+  * per-host full replacement — Some(body) overrides, None means the host
+  * now serves nothing; hosts absent from the map keep the synthetic web's
+  * bodies. Top-level: fetchers are broadcast-serialized into the parse
+  * stage.
+  */
+case class ChangedRobotsFetcher(web: SyntheticWeb.WebConfig,
+                                bodies: Map[String, Option[String]]) extends PageFetcher {
+  override def fetchParse(u: String): (IndexedSeq[Span], IndexedSeq[String]) =
+    SyntheticWeb.fetchParse(u, web)
+  override def fetchRobots(h: String): Option[String] =
+    bodies.getOrElse(h, SyntheticWeb.robotsTxt(h, web))
+}
+
 class CrawlEquivalenceSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
 
@@ -399,6 +413,108 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     val h = CrawlDriver.run(spark, cfg, root3, engFull)
     assert(h.filterBroadcasts === 0)
     assertEqualResults(o, CrawlDriver.result(spark, root3))
+  }
+
+  test("table-robots with the broadcast hint WITHHELD (robotsBroadcastMaxRows" +
+    "=0, the 10^7-host shuffled-join regime): bit-green, and the engine " +
+    "really took the no-hint branch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(24, web), budgetPerHost = 2,
+      maxWaves = 1000, web = web, robots = Nil, fetchRobotsTxt = true)
+    val (o, _) = new RefCrawler(cfg).run()
+    // strategy-only knob: outputs must be identical with the hint withheld
+    val root = tmp()
+    val h = CrawlDriver.run(spark, cfg, root,
+      CrawlDriver.EngineConfig(robotsStorage = "table", robotsBroadcastMaxRows = 0))
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+    assert(h.robotsHintsWithheld > 0 && h.robotsHintsApplied === 0,
+      s"no-hint branch not exercised: applied=${h.robotsHintsApplied} " +
+        s"withheld=${h.robotsHintsWithheld}")
+    // the default threshold keeps the hint on at sandbox host counts
+    val root2 = tmp()
+    val h2 = CrawlDriver.run(spark, cfg, root2,
+      CrawlDriver.EngineConfig(robotsStorage = "table"))
+    assert(h2.robotsHintsApplied > 0 && h2.robotsHintsWithheld === 0)
+    // plan probe: the engine's join shape without the hint — a host-keyed
+    // dimension that unions an RDD-backed delta (no size stats) does NOT
+    // broadcast; the planner shuffles on host, the right 10^7-host shape
+    val store = new graft.sources.SnapshotStore(root, spark)
+    val delta = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      store.read("robots_hosts").schema)
+    val hostsAll = store.read("robots_hosts").unionByName(delta)
+      .groupBy($"host").agg(max(struct($"wave", $"budget")).as("__s"))
+      .select($"host", $"__s.budget".as("__tb"))
+    val plan = store.read("trace").join(hostsAll, Seq("host"), "left")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"unhinted host join still broadcasts:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled host join:\n$plan")
+  }
+
+  test("ROBOTS RECENCY (table mode): a host's robots BODY changes between " +
+    "run and resume-with-refetch — latest-wave-wins resolution, engine == " +
+    "phased oracle, and the change demonstrably matters") {
+    import spark.implicits._
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    val cfg1 = CrawlConfig(SyntheticWeb.seedUrls(24, web), budgetPerHost = 2,
+      maxWaves = 1000, web = web, robots = Nil, fetchRobotsTxt = true)
+    // phase 2: host0 (served NOTHING before) now denies /p/2* and slows to
+    // budget 1 via Crawl-delay; host1 (had deny-/p/1 allow-/p/12) now
+    // serves NOTHING (allow-all); host2 flips to deny-all
+    val changed = ChangedRobotsFetcher(web, Map(
+      "host0.test" -> Some("User-agent: *\nDisallow: /p/2\nCrawl-delay: 60\n"),
+      "host1.test" -> None,
+      "host2.test" -> Some("User-agent: *\nDisallow: /\n")))
+    val cfg2 = cfg1.copy(fetcherOverride = Some(changed), refetchRobotsOnResume = true)
+    val (oPhased, _) = new RefCrawler(cfg1).runPhased(2, cfg2)
+    // the change must actually matter, or this test proves nothing
+    val (oPlain, _) = new RefCrawler(cfg1).run()
+    assert(oPhased.trace !== oPlain.trace,
+      "changed robots bodies did not alter the crawl — fixture too weak")
+    // the new deny binds at ADMISSION: host0 /p/2* URLs admitted AFTER the
+    // switch are denied — in seen but never fetched (URLs admitted before
+    // the switch legitimately still fetch). The plain oracle (host0 serves
+    // nothing, no config rules) never denies a host0 URL.
+    def deniedHost0(r: CrawlResult): Set[String] =
+      r.seen.filter(u => u.contains("host0.test") &&
+        CanonicalUrlPath(u).startsWith("/p/2")) --
+        r.trace.map(_.canonical_url).toSet
+    assert(deniedHost0(oPhased).nonEmpty,
+      "no host0 /p/2* URL was denied after the switch — new rules never bound")
+    assert(deniedHost0(oPlain).isEmpty,
+      "plain oracle denied host0 URLs — fixture assumption broken")
+    // the refetched Crawl-delay (60s -> budget 1) binds selection post-switch
+    val post = oPhased.trace.filter(_.wave > 2)
+    post.groupBy(t => (t.wave, t.host)).foreach { case ((w, h), rows) =>
+      if (h == "host0.test")
+        assert(rows.size <= 1, s"wave $w host0 over refetched Crawl-delay budget")
+    }
+    assert(post.exists(_.host == "host0.test"),
+      "host0 never selected post-switch — budget assertion vacuous")
+    // engine: run 2 waves under fetcher A, resume under fetcher B + refetch
+    val eng = CrawlDriver.EngineConfig(robotsStorage = "table")
+    val root = tmp()
+    CrawlDriver.run(spark, cfg1.copy(maxWaves = 2), root, eng)
+    CrawlDriver.resume(spark, cfg2, root, eng)
+    assertEqualResults(oPhased, CrawlDriver.result(spark, root))
+    // the robots tables carry BOTH fetch events for a refetched host, and
+    // the resumed wave's rows supersede (latest-wave-wins)
+    val store = new graft.sources.SnapshotStore(root, spark)
+    val host0Waves = store.read("robots_hosts").filter($"host" === "host0.test")
+      .select($"wave").distinct().as[Int].collect().sorted
+    assert(host0Waves.length >= 2 && host0Waves.last === 3,
+      s"refetch event not recorded at the resumed wave: ${host0Waves.toSeq}")
+    // ...and the full 10^10 engine config replays the same phased crawl
+    val engFull = CrawlDriver.EngineConfig(filterDistribution = "lazy",
+      pendingStorage = "mor", seenStorage = "store", robotsStorage = "table")
+    val root2 = tmp()
+    CrawlDriver.run(spark, cfg1.copy(maxWaves = 2), root2, engFull)
+    CrawlDriver.resume(spark, cfg2, root2, engFull)
+    assertEqualResults(oPhased, CrawlDriver.result(spark, root2))
   }
 
   test("wave metrics roll up to oracle per-wave totals") {

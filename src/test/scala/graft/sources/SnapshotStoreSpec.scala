@@ -103,6 +103,39 @@ class SnapshotStoreSpec extends AnyFunSuite {
       === Seq(0, 1))
   }
 
+  test("INTERLEAVED commits from the same parent: the loser writes AFTER " +
+    "the winner's data writes but before its publish — winner's published " +
+    "data is untouched (commit-unique dirs), loser's dirs are GC-able orphans") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val store = new SnapshotStore(root, spark)
+    store.beginCommit().append("log", Seq((0, "base")).toDF("id", "v")).commit()
+    val winner = store.beginCommit().append("log", Seq((1, "win")).toDF("id", "v"))
+    val loser = store.beginCommit().append("log", Seq((2, "lose")).toDF("id", "v"))
+    // the exact clobber interleaving: winner writes, THEN the loser writes
+    // (both target version 1 — without uuid-tagged dirs the loser would
+    // mode(overwrite) the winner's just-written files here), then the
+    // winner publishes and the loser fails its parent check
+    winner.writeAll()
+    loser.writeAll()
+    assert(winner.publish() === 1L)
+    intercept[ConcurrentCommitException] { loser.publish() }
+    // the published manifest points ONLY at the winner's own data
+    assert(store.currentVersion === Some(1L))
+    assert(store.read("log").as[(Int, String)].collect().sorted.toSeq
+      === Seq((0, "base"), (1, "win")))
+    // the loser's dirs exist as orphans ... and expireSnapshots reclaims
+    // exactly them (nothing the retained manifests reference)
+    val logDirs = Files.list(Paths.get(root, "data/log"))
+    val nDirs = try logDirs.count() finally logDirs.close()
+    assert(nDirs === 3, s"expected base+winner+loser dirs, got $nDirs")
+    val removed = store.expireSnapshots(keepLast = 2)
+    assert(removed.size === 1 && removed.head.startsWith("data/log/v1-"),
+      s"orphan not reclaimed: $removed")
+    assert(store.read("log").as[(Int, String)].collect().sorted.toSeq
+      === Seq((0, "base"), (1, "win")))
+  }
+
   test("atomicity: unswapped manifest is invisible; reopened store resumes at CURRENT") {
     import spark.implicits._
     val root = tmpRoot()
