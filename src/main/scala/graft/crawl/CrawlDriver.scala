@@ -450,10 +450,7 @@ object CrawlDriver {
       // exactly like the broadcast pre-pass, as a delta.
       val resumedWave =
         store.currentManifest.map(_.summary("wave").toInt + 1).getOrElse(1)
-      def refetchPendingHosts(): (DataFrame, DataFrame) = {
-        import spark.implicits._
-        val hosts = readPending(spark, store)
-          .select($"host").distinct().as[String].collect().toSeq
+      def refetchHosts(hosts: Seq[String]): (DataFrame, DataFrame) = {
         val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
         val rules = resolved.flatMap(hr =>
           if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil))
@@ -461,16 +458,37 @@ object CrawlDriver {
           graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds)))
         robotsDfs(spark, rules, hostRows, resumedWave)
       }
+      def pendingHosts(): Seq[String] = {
+        import spark.implicits._
+        readPending(spark, store).select($"host").distinct().as[String].collect().toSeq
+      }
       robotsTables0 =
         if (store.currentManifest.exists(_.tables.contains(RobotsRules))) {
           if (cfg.fetchRobotsTxt && cfg.refetchRobotsOnResume)
-            Some(refetchPendingHosts())
-          else
+            Some(refetchHosts(pendingHosts()))
+          else if (cfg.fetchRobotsTxt) {
+            // SELECTION INVARIANT across a fixture->fetch mode switch: the
+            // first resumed wave's budget join needs every pending host's
+            // acquired state, but a store written in FIXTURE table mode has
+            // no fetch events (robots_hosts rows) at all — those hosts'
+            // Crawl-delay budgets would bind one wave late. Acquire exactly
+            // the pending hosts MISSING from robots_hosts; in a pure
+            // fetch-mode resume that set is empty (every pending URL's host
+            // was a candidate host of some wave, hence has a row) and this
+            // is a no-op.
+            import spark.implicits._
+            val known = readRobots(spark, store, RobotsHosts)
+              .select($"host").distinct().as[String].collect().toSet
+            val missing = pendingHosts().filterNot(known.contains)
+            if (missing.isEmpty)
+              Some((emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema)))
+            else Some(refetchHosts(missing))
+          } else
             Some((emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema)))
         }
         else if (!cfg.fetchRobotsTxt)
           Some(robotsDfs(spark, cfg.robots, Nil, resumedWave))
-        else Some(refetchPendingHosts())
+        else Some(refetchHosts(pendingHosts()))
     } else if (cfg.fetchRobotsTxt) {
       import spark.implicits._
       val hosts = readPending(spark, store)

@@ -100,8 +100,15 @@ class RefCrawler(cfg: CrawlConfig) {
     * pending keep their phase-1 state until (if ever) re-encountered...
     * which in table mode is never, because the hosts table suppresses
     * re-fetch (and this oracle's cache models exactly that).
+    *
+    * `clearAllResolvedOnSwitch` instead models BROADCAST-mode resume
+    * (robots state is NOT persisted there): the resume forgets every
+    * host's robots state, so pending hosts re-resolve in the resume
+    * pre-pass and every other host re-resolves on its next encounter —
+    * all through cfg2's fetcher. Recency is inherent to that mode.
     */
-  def runPhased(switchAfterWave: Int, cfg2: CrawlConfig): (CrawlResult, Seq[WaveTotals]) = {
+  def runPhased(switchAfterWave: Int, cfg2: CrawlConfig,
+                clearAllResolvedOnSwitch: Boolean = false): (CrawlResult, Seq[WaveTotals]) = {
     val seen = mutable.HashSet.empty[String]
     // pending, keyed by host -> ordered buffer; order restored per wave by sort
     val pending = mutable.ArrayBuffer.empty[FrontierEntry]
@@ -162,7 +169,8 @@ class RefCrawler(cfg: CrawlConfig) {
       if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
         cur = cfg2
         configRulesByHost = RobotsEval.byHost(cur.robots)
-        if (cur.fetchRobotsTxt && cur.refetchRobotsOnResume)
+        if (clearAllResolvedOnSwitch) resolved.clear()
+        else if (cur.fetchRobotsTxt && cur.refetchRobotsOnResume)
           pending.iterator.map(_.host).toSet[String].foreach(h => resolved.remove(h))
       }
     }

@@ -517,6 +517,65 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     assertEqualResults(oPhased, CrawlDriver.result(spark, root2))
   }
 
+  test("ROBOTS RECENCY (broadcast mode): robots state is NOT persisted, so " +
+    "recency is inherent — after bodies change, resume re-resolves pending " +
+    "hosts up front and every other host on re-encounter; engine == " +
+    "clear-all phased oracle") {
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    val cfg1 = CrawlConfig(SyntheticWeb.seedUrls(24, web), budgetPerHost = 2,
+      maxWaves = 1000, web = web, robots = Nil, fetchRobotsTxt = true)
+    val changed = ChangedRobotsFetcher(web, Map(
+      "host0.test" -> Some("User-agent: *\nDisallow: /p/2\nCrawl-delay: 60\n"),
+      "host1.test" -> None,
+      "host2.test" -> Some("User-agent: *\nDisallow: /\n")))
+    // no refetch flag: broadcast mode forgets robots state on resume anyway
+    val cfg2 = cfg1.copy(fetcherOverride = Some(changed))
+    val (o, _) = new RefCrawler(cfg1).runPhased(2, cfg2, clearAllResolvedOnSwitch = true)
+    val (oPlain, _) = new RefCrawler(cfg1).run()
+    assert(o.trace !== oPlain.trace, "changed bodies did not alter the crawl")
+    val root = tmp()
+    CrawlDriver.run(spark, cfg1.copy(maxWaves = 2), root)
+    CrawlDriver.resume(spark, cfg2, root)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
+  test("MODE-SWITCH resume (table): a store written in FIXTURE mode resumed " +
+    "in FETCH mode — pending hosts' missing fetch events are acquired " +
+    "up front, so acquired Crawl-delay budgets bind at the FIRST resumed " +
+    "selection; engine == phased oracle") {
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    val cfg1 = CrawlConfig(SyntheticWeb.seedUrls(24, web), budgetPerHost = 4,
+      maxWaves = 1000, web = web, robots = SyntheticWeb.robotsFixture(web))
+    val delays = Map("host0.test" -> 30.0, "host2.test" -> 60.0) // -> budgets 2, 1
+    val cfg2 = cfg1.copy(robots = Nil, fetchRobotsTxt = true,
+      fetcherOverride = Some(DelayRobotsFetcher(web, delays)))
+    val (o, _) = new RefCrawler(cfg1).runPhased(2, cfg2)
+    // pre-switch, host0 ran over the (future) delay cap — so the cap
+    // binding post-switch is an observable change, not a vacuous bound
+    assert(o.trace.filter(_.wave <= 2).groupBy(t => (t.wave, t.host))
+      .exists { case ((_, h), rows) => h == "host0.test" && rows.size > 2 },
+      "host0 never exceeded the delay cap pre-switch — change not observable")
+    o.trace.filter(_.wave > 2).groupBy(t => (t.wave, t.host)).foreach {
+      case ((w, h), rows) =>
+        val cap = delays.get(h).map(d =>
+          graft.functions.RobotsTxt.budgetForDelay(d, 60.0)).getOrElse(4)
+        assert(rows.size <= cap, s"wave $w host $h over post-switch budget $cap")
+    }
+    assert(o.trace.exists(t => t.wave == 3 && t.host == "host0.test"),
+      "host0 not selected at the first resumed wave — timing assertion vacuous")
+    val eng = CrawlDriver.EngineConfig(robotsStorage = "table")
+    val root = tmp()
+    CrawlDriver.run(spark, cfg1.copy(maxWaves = 2), root, eng)
+    CrawlDriver.resume(spark, cfg2, root, eng)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+    // the mode switch recorded fetch events at the resumed wave for the
+    // previously event-less pending hosts
+    import spark.implicits._
+    val store = new graft.sources.SnapshotStore(root, spark)
+    assert(store.read("robots_hosts").filter($"wave" === 3).count() > 0,
+      "no fetch events acquired at the resumed wave")
+  }
+
   test("wave metrics roll up to oracle per-wave totals") {
     import spark.implicits._
     val cfg = mkCfg(nSeeds = 24, budget = 2)
