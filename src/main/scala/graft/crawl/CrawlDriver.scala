@@ -315,23 +315,25 @@ object CrawlDriver {
     // fetched Crawl-delay -> per-host politeness budget (explicit
     // cfg.hostBudgets overrides win at probe time; see the budget udf)
     var budgetsByHost: Map[String, Int] = Map.empty
-    // fetchRobotsTxt mode, seed hosts: seeds are driver-resident operator
-    // input, so their robots acquisition is a driver-side loop; every host
-    // discovered DURING the crawl is resolved distributed in the wave loop.
-    def resolveSeedHosts(hosts: Seq[String]): Unit = hosts.distinct
-      .filterNot(knownHosts.contains).foreach { h =>
-        val eff = cfg.fetcher.fetchRobots(h) match {
-          case Some(txt) =>
-            val p = graft.functions.RobotsTxt.parse(h, txt, cfg.userAgent)
-            p.crawlDelaySeconds.foreach(d => budgetsByHost += h ->
-              graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds))
-            p.rules
-          case None => configRules.getOrElse(h, Nil)
+    // fetchRobotsTxt mode, seed hosts: fetched+parsed ON EXECUTORS like
+    // every other robots acquisition (robots fetch is network-bound at
+    // scale — a 10^6-host recrawl seed list must not serialize through a
+    // driver fetch loop); only the tiny (host, rules, delay) rows come
+    // back and merge into the host-keyed state. Pure per host, so the
+    // merge is order-independent and deterministic.
+    def resolveSeedHosts(hosts: Seq[String]): Unit = {
+      val newHosts = hosts.distinct.filterNot(knownHosts.contains)
+      fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, newHosts)
+        .foreach { hr =>
+          val eff = if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil)
+          hr.delay.foreach(d => budgetsByHost += hr.host ->
+            graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds))
+          knownHosts += hr.host
+          rulesByHost =
+            if (eff.nonEmpty) rulesByHost.updated(hr.host, eff)
+            else rulesByHost - hr.host
         }
-        knownHosts += h
-        rulesByHost =
-          if (eff.nonEmpty) rulesByHost.updated(h, eff) else rulesByHost - h
-      }
+    }
 
     // ---- wave 0: seed admission (robots checked at admission, like the oracle)
     // seed order defines discovery_time; canonicalize then first-occurrence
