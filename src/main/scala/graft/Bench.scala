@@ -144,6 +144,7 @@ object Bench {
     // ratio, so a reader can tell a regression from a box that degraded
     // mid-run.
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    require(queryReps >= 1, s"SPARK_GRAFT_QUERY_REPS must be >= 1, got $queryReps")
     val canaries = Seq("q_url_canonicalize", "q_anti_join", "q_ann_ivf")
     val (results, sentinelJson) =
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1"))
@@ -166,16 +167,21 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, err)
         }
         def timeMin(name: String): (Double, Option[String]) = {
+          // only SUCCESSFUL reps contribute to the min — a fast failure
+          // must not publish as a phantom speedup; the first error stops
+          // the reps and is reported alongside the last wall time
           var best = Double.MaxValue
+          var lastSecs = 0.0
           var err: Option[String] = None
           var rep = 0
           while (rep < queryReps && err.isEmpty) {
             val (s, e) = timeOnce(name)
-            best = math.min(best, s)
+            lastSecs = s
+            if (e.isEmpty) best = math.min(best, s)
             err = e
             rep += 1
           }
-          (best, err)
+          (if (best == Double.MaxValue) lastSecs else best, err)
         }
         val rs = SparkEntry.queries.keys.toSeq.sorted.map { name =>
           val (s, e) = timeMin(name)

@@ -160,6 +160,30 @@ object CrawlDriver {
       .map(t => HostRobots(t._1, t._2, t._3, t._4)).toSeq
   }
 
+  /** Merge distributed robots-acquisition results into the host-keyed
+    * state triple — ONE definition shared by seed acquisition, the resume
+    * pre-pass and in-wave acquisition, so the served/fallback and
+    * Crawl-delay→budget semantics cannot drift between them.
+    */
+  private def mergeHostRobots(resolved: Seq[HostRobots],
+      configRules: Map[String, Seq[RobotsRule]], wavePeriodSeconds: Double,
+      rules0: Map[String, Seq[RobotsRule]], budgets0: Map[String, Int],
+      known0: Set[String])
+  : (Map[String, Seq[RobotsRule]], Map[String, Int], Set[String]) = {
+    var rules = rules0
+    var budgets = budgets0
+    var known = known0
+    resolved.foreach { hr =>
+      val eff = if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil)
+      hr.delay.foreach(d => budgets += hr.host ->
+        graft.functions.RobotsTxt.budgetForDelay(d, wavePeriodSeconds))
+      known += hr.host
+      rules =
+        if (eff.nonEmpty) rules.updated(hr.host, eff) else rules - hr.host
+    }
+    (rules, budgets, known)
+  }
+
   // ---- merge-on-read pending layout ---------------------------------------
   private val PendingBase = "pending_base"
   private val PendingDelta = "pending_delta"
@@ -323,16 +347,10 @@ object CrawlDriver {
     // merge is order-independent and deterministic.
     def resolveSeedHosts(hosts: Seq[String]): Unit = {
       val newHosts = hosts.distinct.filterNot(knownHosts.contains)
-      fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, newHosts)
-        .foreach { hr =>
-          val eff = if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil)
-          hr.delay.foreach(d => budgetsByHost += hr.host ->
-            graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds))
-          knownHosts += hr.host
-          rulesByHost =
-            if (eff.nonEmpty) rulesByHost.updated(hr.host, eff)
-            else rulesByHost - hr.host
-        }
+      val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, newHosts)
+      val (r, b, k) = mergeHostRobots(resolved, configRules,
+        cfg.wavePeriodSeconds, rulesByHost, budgetsByHost, knownHosts)
+      rulesByHost = r; budgetsByHost = b; knownHosts = k
     }
 
     // ---- wave 0: seed admission (robots checked at admission, like the oracle)
@@ -474,14 +492,17 @@ object CrawlDriver {
             // acquired state, but a store written in FIXTURE table mode has
             // no fetch events (robots_hosts rows) at all — those hosts'
             // Crawl-delay budgets would bind one wave late. Acquire exactly
-            // the pending hosts MISSING from robots_hosts; in a pure
-            // fetch-mode resume that set is empty (every pending URL's host
-            // was a candidate host of some wave, hence has a row) and this
-            // is a no-op.
+            // the pending hosts MISSING from robots_hosts, found by
+            // ANTI-JOIN so only the missing side is ever collected (in a
+            // pure fetch-mode resume that set is EMPTY — every pending
+            // URL's host was a candidate host of some wave, hence has a
+            // row — and the 10^7-row host dimension never reaches the
+            // driver).
             import spark.implicits._
-            val known = readRobots(spark, store, RobotsHosts)
-              .select($"host").distinct().as[String].collect().toSet
-            val missing = pendingHosts().filterNot(known.contains)
+            val missing = readPending(spark, store).select($"host").distinct()
+              .join(readRobots(spark, store, RobotsHosts).select($"host"),
+                Seq("host"), "left_anti")
+              .as[String].collect().toSeq
             if (missing.isEmpty)
               Some((emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema)))
             else Some(refetchHosts(missing))
@@ -495,15 +516,10 @@ object CrawlDriver {
       import spark.implicits._
       val hosts = readPending(spark, store)
         .select($"host").distinct().as[String].collect().toSeq
-      fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
-        .foreach { hr =>
-          val eff = if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil)
-          known0 += hr.host
-          rules0 =
-            if (eff.nonEmpty) rules0.updated(hr.host, eff) else rules0 - hr.host
-          hr.delay.foreach(d => budgets0 += hr.host ->
-            graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds))
-        }
+      val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
+      val (r, b, k) = mergeHostRobots(resolved, configRules,
+        cfg.wavePeriodSeconds, rules0, budgets0, known0)
+      rules0 = r; budgets0 = b; known0 = k
     }
     loop(spark, cfg, store, eng, rules0, budgets0, known0, robotsTables0)
   }
@@ -559,7 +575,12 @@ object CrawlDriver {
     var robotsDeltaInFlight: Boolean = fast.exists(_.robotsDelta.nonEmpty)
     // driver-tracked upper bound on robots-table rows, steering the
     // broadcast hint (the tables themselves are never collected; per-wave
-    // growth is aggregated from the actual acquired rule counts)
+    // growth is aggregated from the actual acquired rule counts, and
+    // resume-bootstrap deltas — refetch/mode-switch rows — are counted in:
+    // their parallelize-backed counts are local and cheap)
+    val robotsBootstrapRows: Long =
+      if (!tableRobots) 0L
+      else robotsUncommitted.map(t => t._1.count() + t._2.count()).getOrElse(0L)
     var robotsRowsApprox: Long =
       if (!tableRobots) 0L
       else if (fast.nonEmpty)
@@ -567,8 +588,9 @@ object CrawlDriver {
           knownHosts.size.toLong +
             knownHosts.iterator.map(h => rulesByHost.getOrElse(h, Nil).size.toLong).sum)
       else if (store.currentManifest.exists(_.tables.contains(RobotsRules)))
-        store.read(RobotsRules).count() + store.read(RobotsHosts).count()
-      else cfg.robots.size.toLong + 256
+        store.read(RobotsRules).count() + store.read(RobotsHosts).count() +
+          robotsBootstrapRows
+      else robotsBootstrapRows
     var robotsHintsApplied = 0
     var robotsHintsWithheld = 0
     def hintRobots(df: DataFrame): DataFrame =
@@ -698,11 +720,20 @@ object CrawlDriver {
       case None => scala.concurrent.Future.successful(None)
     }
     var prevWaveCaches: List[DataFrame] = Nil
-    // per-wave robots-acquisition localCheckpoints, freed on a two-await
-    // delay: the newest entry may still back cached plans built this wave
-    // (a localCheckpoint's blocks are NOT recomputable once dropped), so
-    // each await releases only entries older than the most recent
-    var robotsResQueue: List[DataFrame] = Nil
+    // Per-wave localCheckpoint releases (pending frontier, store-mode seen
+    // appends, robots acquisition): Dataset.unpersist is a NO-OP for
+    // checkpoint RDDs (it only consults the CacheManager), so without
+    // explicit release the block manager grows by every wave's checkpoints
+    // until ContextCleaner's weak-ref GC happens to run. A checkpoint's
+    // blocks are NOT recomputable once dropped, so release runs on a
+    // two-generation delay: entries from wave k may still back cached
+    // plans built in wave k+1 (the superseded pending feeds ranked's
+    // cache; robots res rows ride robotsDelta into the next selection) —
+    // `ckptCur` holds this wave's checkpoints, promotion to `ckptPrev`
+    // happens at wave end, and each await frees only `ckptPrev`, by which
+    // point every cached plan over those blocks has itself been dropped.
+    var ckptPrev: List[DataFrame] = Nil
+    var ckptCur: List[DataFrame] = Nil
 
     def awaitInFlight(): Unit = {
       scala.concurrent.Await
@@ -724,11 +755,8 @@ object CrawlDriver {
       }
       prevWaveCaches.foreach(_.unpersist())
       prevWaveCaches = Nil
-      if (robotsResQueue.length > 1) {
-        val (old, recent) = robotsResQueue.splitAt(robotsResQueue.length - 1)
-        old.foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
-        robotsResQueue = recent
-      }
+      ckptPrev.foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
+      ckptPrev = Nil
     }
 
     var done = false
@@ -902,17 +930,10 @@ object CrawlDriver {
           val newHosts = tagged.select($"host").distinct()
             .filter(!isKnown($"host")).as[String].collect()
           if (newHosts.nonEmpty) {
-            fetchRobotsDistributed(spark, fetcher, userAgent, newHosts.toSeq)
-              .foreach { hr =>
-                val eff =
-                  if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil)
-                knownHosts += hr.host
-                rulesByHost =
-                  if (eff.nonEmpty) rulesByHost.updated(hr.host, eff)
-                  else rulesByHost - hr.host
-                hr.delay.foreach(d => budgetsByHost += hr.host ->
-                  graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds))
-              }
+            val resolved = fetchRobotsDistributed(spark, fetcher, userAgent, newHosts.toSeq)
+            val (r, b, k) = mergeHostRobots(resolved, configRules,
+              cfg.wavePeriodSeconds, rulesByHost, budgetsByHost, knownHosts)
+            rulesByHost = r; budgetsByHost = b; knownHosts = k
             robotsCur = spark.sparkContext.broadcast(rulesByHost)
             budgetsCur = spark.sparkContext.broadcast(budgetsByHost)
             knownHostsB = spark.sparkContext.broadcast(knownHosts)
@@ -1171,17 +1192,25 @@ object CrawlDriver {
           }
         }
         carriedPendingCount = Some(deferredCount + (discovered - denied))
+        val supersededPending = pendingDF
         pendingDF = newPending
         prevWaveCaches = List(ranked.toDF(), selected, parsed, tagged, withRobots)
-        robotsResQueue = robotsResQueue ++ waveRobotsRes
+        ckptPrev = ckptPrev ++ ckptCur
+        ckptCur = List(supersededPending) ++ waveRobotsRes ++
+          (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
         if (cachedSeen) {
           seenSlices :+= newSeen
           maxSeenSlices = math.max(maxSeenSlices, seenSlices.size)
           if (seenSlices.size > eng.rerootSeenEvery) {
             // re-root: the in-flight commit carries this wave's seen append,
-            // so after the await the store's seen table == the slice union
+            // so after the await the store's seen table == the slice union.
+            // Slices mix cache()d store reads and localCheckpointed per-wave
+            // appends — release both forms (see the ckpt queue note).
             awaitInFlight()
-            seenSlices.foreach(_.unpersist())
+            seenSlices.foreach { s =>
+              s.unpersist()
+              org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint(s)
+            }
             seenSlices =
               Vector(store.read("seen").select($"canonical_url", $"host_hash").cache())
           }
@@ -1198,10 +1227,15 @@ object CrawlDriver {
       }
     }
     // long-crawl hygiene: drop the in-memory seen slices (state re-roots
-    // from the store on resume), release the remaining robots-acquisition
-    // checkpoints, and reclaim superseded filter generations
-    robotsResQueue.foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
-    seenSlices.foreach(_.unpersist())
+    // from the store on resume), release every remaining per-wave
+    // checkpoint (the exit-path awaitInFlight ran, so no consumer
+    // survives), and reclaim superseded filter generations
+    (ckptPrev ++ ckptCur :+ pendingDF)
+      .foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
+    seenSlices.foreach { s =>
+      s.unpersist()
+      org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint(s)
+    }
     if (lazyFilters)
       shardStore.get.cleanupBelow(filterGen.baseVersion, filterGen.deltaWaves.toSet)
     RunHandle(store, wavesRun, fetchedTotal, filterBroadcasts, maxSeenSlices,

@@ -158,10 +158,28 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
   private def ddlOf(schema: StructType): String =
     StructType(schema.fields.map(_.copy(nullable = true))).toDDL
 
+  /** Version number encoded in a data-dir name (`v<N>` or `v<N>-<tag>`);
+    * None for unrecognized names (never deleted).
+    */
+  private def dirVersion(name: String): Option[Long] = {
+    if (!name.startsWith("v")) return None
+    val core = name.indexOf('-') match {
+      case -1 => name.substring(1)
+      case i  => name.substring(1, i)
+    }
+    if (core.nonEmpty && core.forall(_.isDigit)) Some(core.toLong) else None
+  }
+
   /** Expire old snapshots (Iceberg's expire_snapshots): keep the last
     * `keepLast` versions, delete older manifests and any data dir no
     * retained manifest references (e.g. superseded COW rewrites of the
-    * pending frontier). Returns the deleted paths.
+    * pending frontier, or the orphaned dirs of a commit that lost the
+    * publish race). Dirs whose encoded version is ABOVE CURRENT are never
+    * touched: they belong to a commit that may be mid-flight between
+    * writeAll and publish — deleting them would let the commit publish a
+    * manifest over vanished data. (A crashed commit's above-CURRENT dirs
+    * become reclaimable as soon as any later commit publishes that
+    * version.) Returns the deleted paths.
     */
   def expireSnapshots(keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
@@ -182,7 +200,8 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
           try {
             vs.iterator().asScala.foreach { vdir =>
               val rel = s"data/${tdir.getFileName}/${vdir.getFileName}"
-              if (!referenced.contains(rel)) {
+              val v = dirVersion(vdir.getFileName.toString)
+              if (!referenced.contains(rel) && v.exists(_ <= cur)) {
                 val walk = Files.walk(vdir)
                 try walk.sorted(java.util.Comparator.reverseOrder())
                   .forEach(p => Files.deleteIfExists(p))

@@ -136,6 +136,23 @@ class SnapshotStoreSpec extends AnyFunSuite {
       === Seq((0, "base"), (1, "win")))
   }
 
+  test("expireSnapshots never touches dirs ABOVE CURRENT — the in-flight " +
+    "window between writeAll and publish") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val store = new SnapshotStore(root, spark)
+    store.beginCommit().append("log", Seq((0, "base")).toDF("id", "v")).commit()
+    // a commit mid-flight: data written, not yet published
+    val inflight = store.beginCommit().append("log", Seq((1, "next")).toDF("id", "v"))
+    inflight.writeAll()
+    val removed = store.expireSnapshots(keepLast = 1)
+    assert(removed.isEmpty, s"GC deleted an in-flight commit's data: $removed")
+    // the commit still publishes onto intact data
+    assert(inflight.publish() === 1L)
+    assert(store.read("log").as[(Int, String)].collect().sorted.toSeq
+      === Seq((0, "base"), (1, "next")))
+  }
+
   test("atomicity: unswapped manifest is invisible; reopened store resumes at CURRENT") {
     import spark.implicits._
     val root = tmpRoot()
