@@ -137,9 +137,69 @@ object CrawlDriver {
   private case class HostRobots(host: String, served: Boolean,
       rules: Seq[RobotsRule], delay: Option[Double])
 
+  /** Counts driver-side host-dimension collects on the RESUME path —
+    * broadcast mode legitimately pays them (its robots state is driver-
+    * resident by design, ≤10^6 hosts); the table-mode resume paths must
+    * never (the 10^7-host regime). Test seam, monotonic.
+    */
+  private[crawl] val resumeHostCollects = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Distributed robots acquisition over a HOST DataFrame (table mode:
+    * in-wave new-host resolution AND every resume path): robots fetched +
+    * RFC-9309-parsed on executors exactly like page fetch, config rules as
+    * the fallback for hosts serving none, Crawl-delay mapped to a budget —
+    * emitted as wave-stamped `robots_rules` / `robots_hosts` delta rows.
+    * Neither the host dimension nor the parsed rules ever reach the driver
+    * (at the 10^7-host design point the pending-host set is multi-GB).
+    *
+    * Returns (rules, hosts, res): the two delta tables plus the
+    * localCheckpointed fetch result backing them. The checkpoint is
+    * LOAD-BEARING, not just a materialization: these rows flow into
+    * `robotsDelta`, which the next wave's selection plan embeds — without
+    * truncation each wave's plan would nest the previous wave's whole plan
+    * and the tree grows without bound (OOM at ~15 waves, measured). The
+    * caller must hand `res` to the loop's checkpoint-release queue for the
+    * standard two-generation release (its blocks are NOT recomputable).
+    */
+  private def acquireRobotsDf(spark: SparkSession, fetcher: PageFetcher,
+      userAgent: String,
+      configRulesB: org.apache.spark.broadcast.Broadcast[Map[String, Seq[RobotsRule]]],
+      wavePeriodSeconds: Double, hostsDf: DataFrame, wave: Int)
+  : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val crb = configRulesB
+    val ua = userAgent
+    val wp = wavePeriodSeconds
+    val res = hostsDf.select($"host").as[String]
+      .mapPartitions(_.map { h =>
+        fetcher.fetchRobots(h) match {
+          case Some(txt) =>
+            val p = graft.functions.RobotsTxt.parse(h, txt, ua)
+            (h, p.rules.map(r => (r.path_prefix, r.allow, r.rule_order)),
+              p.crawlDelaySeconds.map(d =>
+                graft.functions.RobotsTxt.budgetForDelay(d, wp)))
+          case None =>
+            (h, crb.value.getOrElse(h, Nil)
+              .map(r => (r.path_prefix, r.allow, r.rule_order)),
+              None: Option[Int])
+        }
+      })
+      .toDF("host", "rules", "budget")
+      .localCheckpoint(false) // one fetch per host; reused by both tables
+    val ruleRows = res.select($"host", explode($"rules").as("r"))
+      .select($"host", $"r._1".as("path_prefix"),
+        $"r._2".as("allow"), $"r._3".as("rule_order"))
+      .withColumn("wave", lit(wave))
+    val hostRows = res.select($"host", $"budget").withColumn("wave", lit(wave))
+    (ruleRows, hostRows, res)
+  }
+
   /** Fetch+parse `<host>/robots.txt` for each host ON EXECUTORS (robots
     * fetch is network-bound at scale, exactly like page fetch); only the
-    * tiny (host, rules, delay) rows reach the driver.
+    * tiny (host, rules, delay) rows reach the driver — the BROADCAST-mode
+    * acquisition shape (driver-resident robots state is that mode's whole
+    * point, ≤10^6 hosts; table mode routes through [[acquireRobotsDf]]
+    * instead and never collects).
     */
   private def fetchRobotsDistributed(spark: SparkSession, fetcher: PageFetcher,
       userAgent: String, hosts: Seq[String]): Seq[HostRobots] = {
@@ -461,31 +521,33 @@ object CrawlDriver {
     var budgets0 = Map.empty[String, Int]
     var known0 = Set.empty[String]
     var robotsTables0: Option[(DataFrame, DataFrame)] = None
+    var bootstrapRes: Option[DataFrame] = None
     if (eng.robotsStorage == "table") {
       // robots state is durable crawl state: read it back — nothing to
       // refetch (unless cfg.refetchRobotsOnResume asks for RECENCY: then
       // the pending hosts re-fetch and their new rows — stamped with the
       // resumed wave — supersede the stored ones via latest-wave-wins). A
       // store written in broadcast mode lacks the tables; then bootstrap
-      // exactly like the broadcast pre-pass, as a delta.
+      // as a delta. Every path below is FULLY DISTRIBUTED: the pending-
+      // host dimension flows as a DataFrame into [[acquireRobotsDf]]
+      // (executor fetch+parse, wave-stamped delta rows) — zero host or
+      // rule bytes on the driver, matching the in-wave acquisition shape.
       val resumedWave =
         store.currentManifest.map(_.summary("wave").toInt + 1).getOrElse(1)
-      def refetchHosts(hosts: Seq[String]): (DataFrame, DataFrame) = {
-        val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
-        val rules = resolved.flatMap(hr =>
-          if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil))
-        val hostRows = resolved.map(hr => hr.host -> hr.delay.map(d =>
-          graft.functions.RobotsTxt.budgetForDelay(d, cfg.wavePeriodSeconds)))
-        robotsDfs(spark, rules, hostRows, resumedWave)
+      import spark.implicits._
+      val crb = spark.sparkContext.broadcast(configRules)
+      def refetchHostsDf(hostsDf: DataFrame): (DataFrame, DataFrame) = {
+        val (r, h, res) = acquireRobotsDf(spark, cfg.fetcher, cfg.userAgent,
+          crb, cfg.wavePeriodSeconds, hostsDf, resumedWave)
+        bootstrapRes = Some(res)
+        (r, h)
       }
-      def pendingHosts(): Seq[String] = {
-        import spark.implicits._
-        readPending(spark, store).select($"host").distinct().as[String].collect().toSeq
-      }
+      def pendingHostsDf(): DataFrame =
+        readPending(spark, store).select($"host").distinct()
       robotsTables0 =
         if (store.currentManifest.exists(_.tables.contains(RobotsRules))) {
           if (cfg.fetchRobotsTxt && cfg.refetchRobotsOnResume)
-            Some(refetchHosts(pendingHosts()))
+            Some(refetchHostsDf(pendingHostsDf()))
           else if (cfg.fetchRobotsTxt) {
             // SELECTION INVARIANT across a fixture->fetch mode switch: the
             // first resumed wave's budget join needs every pending host's
@@ -493,27 +555,21 @@ object CrawlDriver {
             // no fetch events (robots_hosts rows) at all — those hosts'
             // Crawl-delay budgets would bind one wave late. Acquire exactly
             // the pending hosts MISSING from robots_hosts, found by
-            // ANTI-JOIN so only the missing side is ever collected (in a
-            // pure fetch-mode resume that set is EMPTY — every pending
-            // URL's host was a candidate host of some wave, hence has a
-            // row — and the 10^7-row host dimension never reaches the
-            // driver).
-            import spark.implicits._
-            val missing = readPending(spark, store).select($"host").distinct()
+            // ANTI-JOIN (in a pure fetch-mode resume that set is EMPTY —
+            // every pending URL's host was a candidate host of some wave,
+            // hence has a row — and the acquisition is a no-op).
+            Some(refetchHostsDf(pendingHostsDf()
               .join(readRobots(spark, store, RobotsHosts).select($"host"),
-                Seq("host"), "left_anti")
-              .as[String].collect().toSeq
-            if (missing.isEmpty)
-              Some((emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema)))
-            else Some(refetchHosts(missing))
+                Seq("host"), "left_anti")))
           } else
             Some((emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema)))
         }
         else if (!cfg.fetchRobotsTxt)
           Some(robotsDfs(spark, cfg.robots, Nil, resumedWave))
-        else Some(refetchHosts(pendingHosts()))
+        else Some(refetchHostsDf(pendingHostsDf()))
     } else if (cfg.fetchRobotsTxt) {
       import spark.implicits._
+      resumeHostCollects.incrementAndGet()
       val hosts = readPending(spark, store)
         .select($"host").distinct().as[String].collect().toSeq
       val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
@@ -521,7 +577,8 @@ object CrawlDriver {
         cfg.wavePeriodSeconds, rules0, budgets0, known0)
       rules0 = r; budgets0 = b; known0 = k
     }
-    loop(spark, cfg, store, eng, rules0, budgets0, known0, robotsTables0)
+    loop(spark, cfg, store, eng, rules0, budgets0, known0, robotsTables0,
+      bootstrapCkpt = bootstrapRes)
   }
 
   // ---------------------------------------------------------------------
@@ -531,7 +588,15 @@ object CrawlDriver {
                    budgets0: Map[String, Int],
                    known0: Set[String],
                    robotsTables0: Option[(DataFrame, DataFrame)] = None,
-                   fast: Option[FastStart] = None): RunHandle = {
+                   fast: Option[FastStart] = None,
+                   /** resume-bootstrap robots acquisition checkpoint — its
+                     * rows ride the first commit via robotsUncommitted and
+                     * its release must follow the SAME two-generation
+                     * timing as a wave-1 acquisition (joins wave 1's
+                     * ckptCur), because wave 2's selection plan still
+                     * embeds it through robotsDelta until wave 3's await.
+                     */
+                   bootstrapCkpt: Option[DataFrame] = None): RunHandle = {
     import spark.implicits._
 
     val fetcher = cfg.fetcher
@@ -734,6 +799,7 @@ object CrawlDriver {
     // point every cached plan over those blocks has itself been dropped.
     var ckptPrev: List[DataFrame] = Nil
     var ckptCur: List[DataFrame] = Nil
+    var bootstrapRes: Option[DataFrame] = bootstrapCkpt
 
     def awaitInFlight(): Unit = {
       scala.concurrent.Await
@@ -955,34 +1021,14 @@ object CrawlDriver {
           if (!tableRobots || !cfg.fetchRobotsTxt)
             (emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema))
           else {
-            val crb = configRulesB
-            val ua = userAgent
-            val wp = wavePeriod
-            val res = tagged.select($"host").distinct()
-              .join(hintRobots(hostsKnown.select($"host")), Seq("host"), "left_anti")
-              .as[String]
-              .mapPartitions(_.map { h =>
-                fetcher.fetchRobots(h) match {
-                  case Some(txt) =>
-                    val p = graft.functions.RobotsTxt.parse(h, txt, ua)
-                    (h, p.rules.map(r => (r.path_prefix, r.allow, r.rule_order)),
-                      p.crawlDelaySeconds.map(d =>
-                        graft.functions.RobotsTxt.budgetForDelay(d, wp)))
-                  case None =>
-                    (h, crb.value.getOrElse(h, Nil)
-                      .map(r => (r.path_prefix, r.allow, r.rule_order)),
-                      None: Option[Int])
-                }
-              })
-              .toDF("host", "rules", "budget")
-              // localCheckpoint is LOAD-BEARING here, not just a
-              // materialization: these rows flow into robotsDelta, which
-              // the NEXT wave's selection plan embeds — without truncation
-              // each wave's plan would nest the previous wave's whole plan
-              // (selection AND admission arms) and the tree grows without
-              // bound (OOM at ~15 waves, measured). The blocks are freed
-              // explicitly two awaits later via robotsResQueue.
-              .localCheckpoint(false) // one fetch per host; reused 3×
+            val (ruleRows, hostRows, res) = acquireRobotsDf(spark, fetcher,
+              userAgent, configRulesB, wavePeriod,
+              tagged.select($"host").distinct()
+                .join(hintRobots(hostsKnown.select($"host")), Seq("host"), "left_anti"),
+              wave)
+            // res is localCheckpointed inside acquireRobotsDf (plan
+            // truncation for the wave-over-wave robotsDelta chain); its
+            // blocks are freed two awaits later via the ckpt queue.
             waveRobotsRes = Some(res)
             // the ACTUAL acquired row count (hosts + their rules), not a
             // per-host heuristic: real robots.txt files carry dozens-to-
@@ -991,11 +1037,7 @@ object CrawlDriver {
             val stats = res.agg(count(lit(1)).as("h"),
               coalesce(sum(size($"rules")), lit(0L)).as("r")).head()
             robotsRowsApprox += stats.getLong(0) + stats.getLong(1)
-            (res.select($"host", explode($"rules").as("r"))
-              .select($"host", $"r._1".as("path_prefix"),
-                $"r._2".as("allow"), $"r._3".as("rule_order"))
-              .withColumn("wave", lit(wave)),
-              res.select($"host", $"budget").withColumn("wave", lit(wave)))
+            (ruleRows, hostRows)
           }
 
         val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe")
@@ -1196,8 +1238,9 @@ object CrawlDriver {
         pendingDF = newPending
         prevWaveCaches = List(ranked.toDF(), selected, parsed, tagged, withRobots)
         ckptPrev = ckptPrev ++ ckptCur
-        ckptCur = List(supersededPending) ++ waveRobotsRes ++
+        ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
+        bootstrapRes = None
         if (cachedSeen) {
           seenSlices :+= newSeen
           maxSeenSlices = math.max(maxSeenSlices, seenSlices.size)
@@ -1206,6 +1249,18 @@ object CrawlDriver {
             // so after the await the store's seen table == the slice union.
             // Slices mix cache()d store reads and localCheckpointed per-wave
             // appends — release both forms (see the ckpt queue note).
+            //
+            // MATERIALIZE-BEFORE-RELEASE: on a MOR delta-only wave the
+            // commit never evaluates newPending (only the delta rows), so
+            // it is still a LAZY localCheckpoint whose recompute path runs
+            // through this wave's caches, the seen slices released below,
+            // and the previous wave's robots-res checkpoint in ckptPrev —
+            // all freed by this very block. Force it into real checkpoint
+            // blocks first (cheap: every input is still cached), so the
+            // next wave reads blocks instead of recomputing into freed,
+            // non-recomputable ones. COW commits materialize it anyway;
+            // the count is then a near-free checkpoint-block scan.
+            newPending.count()
             awaitInFlight()
             seenSlices.foreach { s =>
               s.unpersist()
@@ -1230,7 +1285,7 @@ object CrawlDriver {
     // from the store on resume), release every remaining per-wave
     // checkpoint (the exit-path awaitInFlight ran, so no consumer
     // survives), and reclaim superseded filter generations
-    (ckptPrev ++ ckptCur :+ pendingDF)
+    (ckptPrev ++ ckptCur ++ bootstrapRes :+ pendingDF)
       .foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
     seenSlices.foreach { s =>
       s.unpersist()

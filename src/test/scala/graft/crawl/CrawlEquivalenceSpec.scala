@@ -495,11 +495,17 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     }
     assert(post.exists(_.host == "host0.test"),
       "host0 never selected post-switch — budget assertion vacuous")
-    // engine: run 2 waves under fetcher A, resume under fetcher B + refetch
+    // engine: run 2 waves under fetcher A, resume under fetcher B + refetch.
+    // The refetch pre-pass is FULLY DISTRIBUTED: the pending-host dimension
+    // must never be collected to the driver (the 10^7-host regime) —
+    // pinned by the resume-collect counter staying flat.
     val eng = CrawlDriver.EngineConfig(robotsStorage = "table")
     val root = tmp()
     CrawlDriver.run(spark, cfg1.copy(maxWaves = 2), root, eng)
+    val collects0 = CrawlDriver.resumeHostCollects.get()
     CrawlDriver.resume(spark, cfg2, root, eng)
+    assert(CrawlDriver.resumeHostCollects.get() === collects0,
+      "table-mode refetch resume collected a host dimension to the driver")
     assertEqualResults(oPhased, CrawlDriver.result(spark, root))
     // the robots tables carry BOTH fetch events for a refetched host, and
     // the resumed wave's rows supersede (latest-wave-wins)
@@ -535,7 +541,13 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     assert(o.trace !== oPlain.trace, "changed bodies did not alter the crawl")
     val root = tmp()
     CrawlDriver.run(spark, cfg1.copy(maxWaves = 2), root)
+    val collects0 = CrawlDriver.resumeHostCollects.get()
     CrawlDriver.resume(spark, cfg2, root)
+    // broadcast mode legitimately pays a driver host collect on resume
+    // (its robots state is driver-resident by design) — the counter seam
+    // must actually fire here, or the table-mode zero-assertions are vacuous
+    assert(CrawlDriver.resumeHostCollects.get() > collects0,
+      "resume-collect counter seam never fired on the broadcast path")
     assertEqualResults(o, CrawlDriver.result(spark, root))
   }
 
@@ -566,7 +578,10 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     val eng = CrawlDriver.EngineConfig(robotsStorage = "table")
     val root = tmp()
     CrawlDriver.run(spark, cfg1.copy(maxWaves = 2), root, eng)
+    val collects0 = CrawlDriver.resumeHostCollects.get()
     CrawlDriver.resume(spark, cfg2, root, eng)
+    assert(CrawlDriver.resumeHostCollects.get() === collects0,
+      "mode-switch resume collected a host dimension to the driver")
     assertEqualResults(o, CrawlDriver.result(spark, root))
     // the mode switch recorded fetch events at the resumed wave for the
     // previously event-less pending hosts
@@ -574,6 +589,28 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     val store = new graft.sources.SnapshotStore(root, spark)
     assert(store.read("robots_hosts").filter($"wave" === 3).count() > 0,
       "no fetch events acquired at the resumed wave")
+  }
+
+  test("re-root on MOR delta-only waves + table robots acquisition: the " +
+    "release discipline must not free blocks the unmaterialized newPending " +
+    "checkpoint still recomputes through (20+ waves, frequent re-roots)") {
+    // Trigger shape: seenStorage=cached + pendingStorage=mor with a
+    // compaction threshold the run never reaches (every wave appends a
+    // delta, so the commit never materializes newPending), frequent
+    // re-roots (rerootSeenEvery=2), and in-crawl robots acquisition with a
+    // single-host seed so new-host acquisitions trickle across waves —
+    // maximizing the chance a re-root wave's newPending plan references a
+    // robots-res checkpoint promoted into ckptPrev the wave before.
+    val web = SyntheticWeb.WebConfig(hosts = 4, pagesPerHost = 30)
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(1, web), budgetPerHost = 1,
+      maxWaves = 1000, web = web, robots = Nil, fetchRobotsTxt = true)
+    val (o, _) = new RefCrawler(cfg).run()
+    val root = tmp()
+    val h = CrawlDriver.run(spark, cfg, root, CrawlDriver.EngineConfig(
+      pendingStorage = "mor", robotsStorage = "table",
+      rerootSeenEvery = 2, compactPendingEvery = 1000))
+    assert(h.wavesRun >= 20, s"fixture too small: ${h.wavesRun} waves")
+    assertEqualResults(o, CrawlDriver.result(spark, root))
   }
 
   test("wave metrics roll up to oracle per-wave totals") {
