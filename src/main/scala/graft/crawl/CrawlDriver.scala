@@ -315,14 +315,16 @@ object CrawlDriver {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pendingDeltaSchema)
 
   /** Current pending frontier regardless of layout: plain read in COW mode;
-    * in MOR mode merge base + deltas. The op sequence per URL is total-
-    * ordered: at most ONE `add` (admission is seen-gated; expiry compacts
-    * the chain before a URL can re-enter) and at most one LATER `del`
-    * (selection). Survivors are therefore exactly
-    * `(base ∪ delta-adds) ANTI JOIN delta-dels` — a key anti-join whose
-    * build side is delta-sized (and whose runs are SORTED by canonical_url
-    * on write), instead of a groupBy(max-struct) shuffle of the ENTIRE
-    * base+delta set that the first MOR cut paid on every resume.
+    * in MOR mode merge base + deltas. The op sequence per (canonical_url,
+    * attempts) KEY is total-ordered: at most ONE `add` (admission is
+    * seen-gated; a transient-failure requeue re-adds under attempts+1;
+    * expiry compacts the chain before a URL can re-enter) and at most one
+    * LATER `del` (selection). Survivors are therefore exactly
+    * `(base ∪ delta-adds) ANTI JOIN delta-dels` on that composite key — an
+    * anti-join whose build side is delta-sized (and whose runs are SORTED
+    * by canonical_url on write), instead of a groupBy(max-struct) shuffle
+    * of the ENTIRE base+delta set that the first MOR cut paid on every
+    * resume.
     */
   def readPending(spark: SparkSession, store: SnapshotStore): DataFrame = {
     import spark.implicits._
@@ -333,10 +335,10 @@ object CrawlDriver {
       val fcols = frontierSchema.fieldNames.map(col).toSeq
       val deltas = store.read(PendingDelta)
       val adds = deltas.filter($"op" === "add").select(fcols: _*)
-      val dels = deltas.filter($"op" === "del").select($"canonical_url")
+      val dels = deltas.filter($"op" === "del").select($"canonical_url", $"attempts")
       store.read(PendingBase).select(fcols: _*)
         .unionByName(adds)
-        .join(dels, Seq("canonical_url"), "left_anti")
+        .join(dels, Seq("canonical_url", "attempts"), "left_anti")
     }
   }
 
@@ -385,7 +387,13 @@ object CrawlDriver {
     * under `storeRoot`. Returns the store for inspection.
     */
   def run(spark: SparkSession, cfg: CrawlConfig, storeRoot: String,
-          eng: EngineConfig = EngineConfig()): RunHandle = {
+          eng: EngineConfig = EngineConfig(),
+          /** diagnostics hook, called once per completed wave (after the
+            * wave's bookkeeping, commit launched) with the wave number —
+            * e.g. the endurance probe's memory sampler. Never affects
+            * output.
+            */
+          onWaveEnd: Int => Unit = _ => ()): RunHandle = {
     import spark.implicits._
     val store = new SnapshotStore(storeRoot, spark)
 
@@ -427,10 +435,11 @@ object CrawlDriver {
     val seedRows = seedsCanonical.map { case (u, seq) =>
       val h = CanonicalUrl.host(u)
       val ok = RobotsEval.allowed(rulesByHost.getOrElse(h, Nil), CanonicalUrl.path(u))
-      (u, h, XxHash64.hashString(h), 0, seq, 0, ok)
+      (u, h, XxHash64.hashString(h), 0, seq, 0, 0, ok)
     }
     val seedDf = seedRows
-      .toDF("canonical_url", "host", "host_hash", "priority", "discovery_time", "depth", "allowed")
+      .toDF("canonical_url", "host", "host_hash", "priority", "discovery_time",
+        "depth", "attempts", "allowed")
 
     val pending0 = seedDf.filter($"allowed").drop("allowed")
       .as[FrontierEntry]
@@ -463,6 +472,7 @@ object CrawlDriver {
       .append("seen", seen0.repartition(col("shard")).sortWithinPartitions("shard"))
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
       .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
+      .declare("errors", org.apache.spark.sql.Encoders.product[ErrorRow].schema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "seeds" -> seedsCanonical.size.toString,
@@ -483,7 +493,7 @@ object CrawlDriver {
           case "bloom" => ShardedBloom.sized(eng.bloomShards, eng.bloomItemsPerShard, eng.bloomFpp)
           case _       => ShardedCuckoo.sized(eng.bloomShards, eng.bloomItemsPerShard)
         }
-        seedRows.foreach { case (u, _, hh, _, _, _, _) =>
+        seedRows.foreach { case (u, _, hh, _, _, _, _, _) =>
           f match {
             case b: ShardedBloom  => b.insert(u, hh)
             case c: ShardedCuckoo => c.insert(u, hh)
@@ -498,9 +508,9 @@ object CrawlDriver {
       seen0 = seen0,
       filter = initFilter,
       nextSeq = seedRows.size.toLong,
-      pendingCount = seedRows.count(_._7).toLong,
+      pendingCount = seedRows.count(_._8).toLong,
       wave0Commit = wave0,
-      robotsDelta = robots0)))
+      robotsDelta = robots0)), onWaveEnd = onWaveEnd)
   }
 
   /** Resume from the CURRENT snapshot of an existing store. In
@@ -596,7 +606,8 @@ object CrawlDriver {
                      * ckptCur), because wave 2's selection plan still
                      * embeds it through robotsDelta until wave 3's await.
                      */
-                   bootstrapCkpt: Option[DataFrame] = None): RunHandle = {
+                   bootstrapCkpt: Option[DataFrame] = None,
+                   onWaveEnd: Int => Unit = _ => ()): RunHandle = {
     import spark.implicits._
 
     val fetcher = cfg.fetcher
@@ -871,78 +882,126 @@ object CrawlDriver {
               rankedB.filter($"__rk" > $"__budget").select(fcols: _*).as[FrontierEntry])
           }
 
-        // ---- Q4: wave trace numbering (two-phase rank, no global window)
-        val selected = withGlobalSeq(selectedRaw,
-          Seq("priority", "discovery_time", "canonical_url"), "__seq0",
-          sizeHint = pendingCount)
-          .withColumn("trace_seq", $"__seq0" + 1L).drop("__seq0")
-          .cache()
-
         // ---- Q3: salted repartition before the fetch/parse map — parse is
         // the expensive, order-free stage and must never inherit the
-        // (possibly single-partition) numbering layout. UNIFORM salting:
-        // every host's URLs spread over `saltFanout` salts, so (a) host
-        // count alone cannot under-partition the wave and (b) a hot domain
-        // cannot pin a partition — skew handling without a per-wave
-        // histogram job. (A real fetcher trading connection reuse for
-        // balance would lower the fan; it never changes output — budget
-        // selection above stayed strictly per-host.) 8x partitions keep
-        // parse tasks fine-grained so the stage tail is one small task,
-        // not a third scheduling round of the CPU-heavy parse.
+        // selection layout. UNIFORM salting: every host's URLs spread over
+        // `saltFanout` salts, so (a) host count alone cannot
+        // under-partition the wave and (b) a hot domain cannot pin a
+        // partition — skew handling without a per-wave histogram job. (A
+        // real fetcher trading connection reuse for balance would lower
+        // the fan; it never changes output — budget selection above stayed
+        // strictly per-host.) 8x partitions keep parse tasks fine-grained
+        // so the stage tail is one small task, not a third scheduling
+        // round of the CPU-heavy parse.
         val nParts = 8 * math.max(1, spark.sessionState.conf.numShufflePartitions)
-        val salted = selected
+        val fcolsF = frontierSchema.fieldNames.map(col).toSeq
+        val salted = selectedRaw.select(fcolsF: _*)
           .withColumn("__salt", pmod(xxhash64($"canonical_url"), lit(eng.saltFanout.toLong)))
           .repartition(nParts, $"host_hash", $"__salt")
           .drop("__salt")
 
-        // ---- S3 + T1: fetch + parse (typed map over the synthetic web) and
-        // per-partition fetch/parse lineage metrics
-        val parsed = salted
-          .select($"canonical_url", $"depth", $"trace_seq")
-          .as[(String, Int, Long)]
+        // ---- S3 + T1: fetch + parse (typed map over the synthetic web)
+        // through the FAILURE CHANNEL: status ok|transient|permanent, with
+        // spans/outlinks only on success. Deterministic per (url,
+        // attempts), so any parallelism yields the same outcomes.
+        val maxAtt = cfg.maxFetchAttempts
+        val outcomes = salted
+          .as[FrontierEntry]
           .mapPartitions { it =>
-            it.map { case (url, depth, seq) =>
-              val (spans, raw) = fetcher.fetchParse(url)
-              val base = url
-              // resolve + canonicalize outlinks in document order
-              val links = raw.map(r => CanonicalUrl.resolve(base, r))
-              (url, depth, seq, spans, links,
-                org.apache.spark.TaskContext.getPartitionId())
+            it.map { e =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              fetcher.fetchAttempt(e.canonical_url, e.attempts) match {
+                case Fetched(spans, raw) =>
+                  // resolve + canonicalize outlinks in document order
+                  val links = raw.map(r => CanonicalUrl.resolve(e.canonical_url, r))
+                  (e.canonical_url, e.host, e.host_hash, e.priority,
+                    e.discovery_time, e.depth, e.attempts, "ok", spans, links, pid)
+                case TransientFetchError =>
+                  (e.canonical_url, e.host, e.host_hash, e.priority,
+                    e.discovery_time, e.depth, e.attempts, "transient",
+                    Vector.empty[Span], Vector.empty[String], pid)
+                case PermanentFetchError =>
+                  (e.canonical_url, e.host, e.host_hash, e.priority,
+                    e.discovery_time, e.depth, e.attempts, "permanent",
+                    Vector.empty[Span], Vector.empty[String], pid)
+              }
             }
           }
-          .toDF("canonical_url", "depth", "trace_seq", "spans", "links", "__pid")
+          .toDF("canonical_url", "host", "host_hash", "priority",
+            "discovery_time", "depth", "attempts", "status", "spans", "links", "__pid")
           .cache()
+        val fetched = outcomes.filter($"status" === "ok")
+
+        // ---- Q4: wave trace numbering (two-phase rank, no global window)
+        // AFTER the fetch, over the LIGHT columns of successful fetches
+        // only: failed attempts are never traced, and per-wave seq stays
+        // dense 1..n over successes in frontier order — identical to the
+        // oracle's success counter. Spans/links never ride this shuffle.
+        val wTrace = withGlobalSeq(
+          fetched.select($"canonical_url", $"host", $"priority", $"discovery_time"),
+          Seq("priority", "discovery_time", "canonical_url"), "__seq0",
+          sizeHint = pendingCount)
+          .select(lit(wave).as("wave"), ($"__seq0" + 1L).as("seq"), $"host", $"canonical_url")
+          .as[TraceRow]
 
         // coalesce: the parse stage runs at 8x-cores granularity for tail
         // smoothing, but the docs FILES should be one per core, not 8
-        val wDocs = parsed.select($"canonical_url".as("doc_id"), $"spans")
+        val wDocs = fetched.select($"canonical_url".as("doc_id"), $"spans")
           .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
           .as[Doc]
-        val wTrace = selected
-          .select(lit(wave).as("wave"), $"trace_seq".as("seq"), $"host", $"canonical_url")
-          .as[TraceRow]
 
-        // ---- outlink candidates with (trace_seq, link_idx) provenance
-        // (coalesced off the fine-grained parse blocks: the dedup chain is
-        // cheap per row — 8x-cores task granularity would be pure overhead)
-        val candidates = parsed
+        // ---- outlink candidates with (source-page frontier keys,
+        // link_idx) provenance — exactly the oracle's admission order
+        // (successful pages in frontier order, links in document order),
+        // without joining the trace numbering back in. (Coalesced off the
+        // fine-grained parse blocks: the dedup chain is cheap per row —
+        // 8x-cores task granularity would be pure overhead.)
+        val candidates = fetched
           .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
-          .select($"trace_seq", $"depth", posexplode_outer($"links").as(Seq("link_idx", "url")))
+          .select($"priority".as("src_pri"), $"discovery_time".as("src_dt"),
+            $"canonical_url".as("src_url"), $"depth",
+            posexplode_outer($"links").as(Seq("link_idx", "url")))
           .filter($"url".isNotNull)
           .withColumn("host", udf((u: String) => CanonicalUrl.host(u)).apply($"url"))
           .withColumn("host_hash", xxhash64($"host"))
           .select($"url".as("canonical_url"), $"host", $"host_hash",
-            ($"depth" + 1).as("depth"), $"trace_seq", $"link_idx")
+            ($"depth" + 1).as("depth"), $"src_pri", $"src_dt", $"src_url", $"link_idx")
 
         val tFetch0 = System.nanoTime()
-        // one job over the cached parse output: per-partition fetch lineage
-        // counts AND the candidate-link total (map-side agg, tiny result)
-        val fetchStats = parsed.groupBy($"__pid")
-          .agg(count(lit(1)).as("n"), sum(size($"links")).as("cands"))
+        // one job over the cached fetch output: per-partition fetch lineage
+        // counts, the candidate-link total, and the failure/requeue totals
+        // (map-side agg, tiny result)
+        val fetchStats = outcomes.groupBy($"__pid")
+          .agg(count(lit(1)).as("sel"),
+            sum(when($"status" === "ok", 1L).otherwise(0L)).as("ok"),
+            sum(when($"status" === "ok", size($"links")).otherwise(0)).cast("long").as("cands"),
+            sum(when($"status" === "transient" && $"attempts" + 1 < maxAtt, 1L)
+              .otherwise(0L)).as("requeued"),
+            sum(when($"status" === "permanent" ||
+                ($"status" === "transient" && $"attempts" + 1 >= maxAtt), 1L)
+              .otherwise(0L)).as("errored"))
           .collect()
-          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        val fetchedThisWave = fetchStats.map(_._2).sum
-        val candTotal = fetchStats.map(_._3).sum
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+        val selectedTotal = fetchStats.map(_._2).sum
+        val fetchedThisWave = fetchStats.map(_._3).sum
+        val candTotal = fetchStats.map(_._4).sum
+        val requeuedTotal = fetchStats.map(_._5).sum
+        val erroredTotal = fetchStats.map(_._6).sum
+
+        // transient failures with attempts left re-enter the frontier with
+        // the SAME ordering keys and attempts+1 (they compete under the
+        // host budget again in later waves); exhausted/permanent failures
+        // become error rows — in seen, never fetched again
+        val retryable = $"status" === "transient" && $"attempts" + 1 < maxAtt
+        val requeued = outcomes.filter(retryable)
+          .withColumn("attempts", ($"attempts" + 1).cast("int"))
+          .select(fcolsF: _*)
+        val errorRows = outcomes.filter($"status" =!= "ok" && !retryable)
+          .select(lit(wave).as("wave"), $"canonical_url", $"host",
+            when($"status" === "permanent", lit("permanent"))
+              .otherwise(lit("transient_exhausted")).as("kind"),
+            ($"attempts" + 1).cast("int").as("attempts"))
 
         // the previous wave's commit + bloom delta must land before the
         // bloom probe below (a stale bloom could answer "definitely new"
@@ -951,12 +1010,15 @@ object CrawlDriver {
         awaitInFlight()
 
         // ---- D1/D2: first-occurrence dedup across the wave (covers in-page):
-        // keep the (trace_seq, link_idx)-minimal sighting per canonical_url
+        // keep the (source frontier keys, link_idx)-minimal sighting per
+        // canonical_url — admission order, same as the oracle
         val firstSeen = candidates
           .groupBy($"canonical_url")
-          .agg(min(struct($"trace_seq", $"link_idx", $"host", $"host_hash", $"depth")).as("f"))
+          .agg(min(struct($"src_pri", $"src_dt", $"src_url", $"link_idx",
+            $"host", $"host_hash", $"depth")).as("f"))
           .select($"canonical_url", $"f.host".as("host"), $"f.host_hash".as("host_hash"),
-            $"f.depth".as("depth"), $"f.trace_seq".as("trace_seq"), $"f.link_idx".as("link_idx"))
+            $"f.depth".as("depth"), $"f.src_pri".as("src_pri"), $"f.src_dt".as("src_dt"),
+            $"f.src_url".as("src_url"), $"f.link_idx".as("link_idx"))
 
         // ---- D3: bloom/cuckoo pre-filter. broadcast mode: executor-local
         // probe of the broadcast filter (no shuffle of seen). lazy mode:
@@ -1061,12 +1123,14 @@ object CrawlDriver {
         val confirmedNew = maybeSeen.join(seenTbl, Seq("canonical_url"), "left_anti")
         val newUrls = definitelyNew.unionByName(confirmedNew)
 
-        // ---- discovery numbering: global rank in (trace_seq, link_idx) order
-        val numbered = withGlobalSeq(newUrls, Seq("trace_seq", "link_idx"), "__rank",
+        // ---- discovery numbering: global rank in admission order —
+        // (source-page frontier keys, link_idx)
+        val numbered = withGlobalSeq(newUrls,
+          Seq("src_pri", "src_dt", "src_url", "link_idx"), "__rank",
           sizeHint = candTotal)
           .withColumn("discovery_time", $"__rank" + lit(nextSeq))
           .withColumn("priority", $"depth")
-          .drop("__rank", "trace_seq", "link_idx")
+          .drop("__rank", "src_pri", "src_dt", "src_url", "link_idx")
 
         // ---- robots at admission (like the oracle): denied occupy seen
         // only. Broadcast mode: host-keyed map lookup + longest-prefix over
@@ -1113,7 +1177,8 @@ object CrawlDriver {
               .cache()
           }
         val admitted = withRobots.filter($"__allowed")
-          .select($"canonical_url", $"host", $"host_hash", $"priority", $"discovery_time", $"depth")
+          .select($"canonical_url", $"host", $"host_hash", $"priority",
+            $"discovery_time", $"depth", lit(0).as("attempts"))
           .as[FrontierEntry]
         // one job: discovered + denied together
         val robotsCounts = withRobots.groupBy($"__allowed").count().collect()
@@ -1132,10 +1197,12 @@ object CrawlDriver {
           .localCheckpoint(false)
 
         // ---- metrics with per-partition lineage from the fetch stage
-        val deferredCount = pendingCount - fetchedThisWave
+        // (fetched counts SUCCESSES; failed attempts are in the errors
+        // table or requeued, and budget_deferred = selection shortfall)
+        val deferredCount = pendingCount - selectedTotal
         val metricsRows = {
-          val base = fetchStats.sortBy(_._1).map { case (pid, n, _) =>
-            WaveMetrics(wave, pid, n, n, 0L, 0L, 0L, 0L)
+          val base = fetchStats.sortBy(_._1).map { case (pid, _, ok, _, _, _) =>
+            WaveMetrics(wave, pid, ok, ok, 0L, 0L, 0L, 0L)
           }.toSeq
           val tail = WaveMetrics(wave, -1, 0L, 0L, discovered,
             candTotal - discovered /* deduped within wave or vs seen */,
@@ -1149,6 +1216,7 @@ object CrawlDriver {
         // runs ASYNCHRONOUSLY, overlapped with the next wave's selection
         // and fetch stages; it is awaited before the next bloom probe.
         val newPending = deferred.toDF().unionByName(admitted.toDF())
+          .unionByName(requeued)
           .localCheckpoint(false) // plan truncation, materialized at commit
         nextSeq += discovered
         fetchedTotal += fetchedThisWave
@@ -1163,10 +1231,13 @@ object CrawlDriver {
             commitBuilder.replace(PendingBase, newPending)
               .replace(PendingDelta, emptyDelta(spark))
           } else {
-            val fcols = frontierSchema.fieldNames.map(col).toSeq
-            val delRows = selected.select(fcols: _*)
+            // a requeue is del(url, a) + add(url, a+1): the delta op
+            // sequence stays one-add-then-at-most-one-del PER (url,
+            // attempts) KEY, which is what the readPending anti-join
+            // merges on
+            val delRows = selectedRaw.select(fcolsF: _*)
               .withColumn("op", lit("del")).withColumn("w", lit(wave))
-            val addRows = admitted.toDF()
+            val addRows = admitted.toDF().unionByName(requeued)
               .withColumn("op", lit("add")).withColumn("w", lit(wave))
             // deltas land SORTED by canonical_url so the resume merge-join
             // in readPending reads clustered runs (and parquet gets tight
@@ -1189,6 +1260,7 @@ object CrawlDriver {
           robotsDelta = (rApp, hApp)
           robotsDeltaInFlight = true
         }
+        if (erroredTotal > 0) commitBuilder.append("errors", errorRows)
         commitBuilder
           .append("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
           .append("trace", wTrace.toDF())
@@ -1200,7 +1272,9 @@ object CrawlDriver {
             "fetched_total" -> fetchedTotal.toString,
             "wave_fetched" -> fetchedThisWave.toString,
             "wave_discovered" -> discovered.toString,
-            "wave_denied" -> denied.toString)
+            "wave_denied" -> denied.toString,
+            "wave_requeued" -> requeuedTotal.toString,
+            "wave_errored" -> erroredTotal.toString)
         val doDelta = useFilter && discovered > 0
         val filterNow = bloomB
         val genNow = filterGen
@@ -1233,10 +1307,10 @@ object CrawlDriver {
               scala.concurrent.duration.Duration.Inf)
           }
         }
-        carriedPendingCount = Some(deferredCount + (discovered - denied))
+        carriedPendingCount = Some(deferredCount + (discovered - denied) + requeuedTotal)
         val supersededPending = pendingDF
         pendingDF = newPending
-        prevWaveCaches = List(ranked.toDF(), selected, parsed, tagged, withRobots)
+        prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots)
         ckptPrev = ckptPrev ++ ckptCur
         ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
@@ -1277,6 +1351,7 @@ object CrawlDriver {
             f"denied=$denied deferred=$deferredCount ms=$ms%.0f " +
             f"(fetch=$tFetchMs%.0f dedup=$tDedupMs%.0f commit-launch=$commitMs%.0f)")
         }
+        onWaveEnd(wave)
         wave += 1
         wavesRun += 1
       }
@@ -1355,7 +1430,13 @@ object CrawlDriver {
       .collect().sortBy(t => (t.wave, t.seq)).toSeq
     val seen = store.read("seen").as[SeenRow].collect().map(_.canonical_url).toSet
     val docs = store.read("docs").as[Doc].collect().toSeq
+    val errors =
+      if (store.currentManifest.exists(_.tables.contains("errors")))
+        store.read("errors").as[ErrorRow].collect()
+          .sortBy(e => (e.wave, e.canonical_url)).toSeq
+      else Nil
     val traceOrder = trace.map(_.canonical_url).zipWithIndex.toMap
-    CrawlResult(trace, seen, docs.sortBy(d => traceOrder.getOrElse(d.doc_id, Int.MaxValue)))
+    CrawlResult(trace, seen,
+      docs.sortBy(d => traceOrder.getOrElse(d.doc_id, Int.MaxValue)), errors)
   }
 }

@@ -32,10 +32,20 @@ case class WaveTotals(
   *     a host's rules come from fetching+parsing `<host>/robots.txt` on the
   *     host's FIRST admission-time encounter (config rules are the fallback
   *     for hosts serving none) — robots acquisition is part of the crawl.
-  *  6. fetch+parse: [[SyntheticWeb.fetchParse]]; outlinks resolved against
-  *     the base URL, admitted in (page trace order, link index) order —
-  *     first occurrence wins (covers in-page and intra-wave dedup).
-  *  7. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
+  *  6. fetch+parse: [[PageFetcher.fetchAttempt]] with the entry's prior
+  *     attempt count; on success, outlinks resolved against the base URL,
+  *     admitted in (page trace order, link index) order — first occurrence
+  *     wins (covers in-page and intra-wave dedup).
+  *  7. FAILURE SEMANTICS: trace rows (seq 1..n within the wave, in
+  *     frontier order) and docs exist only for SUCCESSFUL fetches; a
+  *     transient failure requeues the entry with attempts+1 (same ordering
+  *     keys — it competes again under the host budget in later waves)
+  *     until maxFetchAttempts total attempts, then becomes a
+  *     `transient_exhausted` error; a permanent failure errors
+  *     immediately. Errored URLs stay in seen, are never fetched again,
+  *     and land in `errors`. `fetched` counts successes only (incl. the
+  *     maxUrls stop rule).
+  *  8. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
   *     (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
@@ -114,6 +124,7 @@ class RefCrawler(cfg: CrawlConfig) {
     val pending = mutable.ArrayBuffer.empty[FrontierEntry]
     val trace = mutable.ArrayBuffer.empty[TraceRow]
     val docs = mutable.ArrayBuffer.empty[Doc]
+    val errors = mutable.ArrayBuffer.empty[ErrorRow]
     val totals = mutable.ArrayBuffer.empty[WaveTotals]
     var nextSeq = 0L
     var fetchedTotal = 0L
@@ -153,18 +164,30 @@ class RefCrawler(cfg: CrawlConfig) {
       var discovered = 0L
       var deduped = 0L
       var denied = 0L
-      selected.zipWithIndex.foreach { case (e, i) =>
-        trace += TraceRow(wave, i + 1L, e.host, e.canonical_url)
-        val (spans, rawLinks) = cur.fetcher.fetchParse(e.canonical_url)
-        docs += Doc(e.canonical_url, spans)
-        rawLinks.foreach { raw =>
-          val c = CanonicalUrl.resolve(e.canonical_url, raw)
-          val (d, dd, dn) = admit(c, e.depth + 1)
-          discovered += d; deduped += dd; denied += dn
+      var fetchedThisWave = 0L
+      selected.foreach { e =>
+        cur.fetcher.fetchAttempt(e.canonical_url, e.attempts) match {
+          case Fetched(spans, rawLinks) =>
+            fetchedThisWave += 1
+            trace += TraceRow(wave, fetchedThisWave, e.host, e.canonical_url)
+            docs += Doc(e.canonical_url, spans)
+            rawLinks.foreach { raw =>
+              val c = CanonicalUrl.resolve(e.canonical_url, raw)
+              val (d, dd, dn) = admit(c, e.depth + 1)
+              discovered += d; deduped += dd; denied += dn
+            }
+          case TransientFetchError =>
+            if (e.attempts + 1 < cur.maxFetchAttempts)
+              pending += e.copy(attempts = e.attempts + 1)
+            else errors += ErrorRow(wave, e.canonical_url, e.host,
+              "transient_exhausted", e.attempts + 1)
+          case PermanentFetchError =>
+            errors += ErrorRow(wave, e.canonical_url, e.host,
+              "permanent", e.attempts + 1)
         }
       }
-      fetchedTotal += selected.size
-      totals += WaveTotals(wave, selected.size.toLong, discovered, deduped, denied, deferred.toLong)
+      fetchedTotal += fetchedThisWave
+      totals += WaveTotals(wave, fetchedThisWave, discovered, deduped, denied, deferred.toLong)
       wave += 1
       if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
         cur = cfg2
@@ -175,6 +198,7 @@ class RefCrawler(cfg: CrawlConfig) {
       }
     }
 
-    (CrawlResult(trace.toSeq, seen.toSet, docs.toSeq), totals.toSeq)
+    (CrawlResult(trace.toSeq, seen.toSet, docs.toSeq,
+      errors.sortBy(e => (e.wave, e.canonical_url)).toSeq), totals.toSeq)
   }
 }

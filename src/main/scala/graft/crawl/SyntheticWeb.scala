@@ -31,7 +31,29 @@ object SyntheticWeb {
     * changes any output.
     */
   case class WebConfig(hosts: Int = 8, pagesPerHost: Int = 50, hotHost: Int = 0,
-                       parseWorkIters: Long = 0L)
+                       parseWorkIters: Long = 0L,
+                       /** percent of URLs that fail PERMANENTLY (every
+                         * attempt) — hash-derived from the URL alone.
+                         */
+                       permanentFailPct: Int = 0,
+                       /** percent chance a given (url, attempt) pair fails
+                         * TRANSIENTLY — hash-derived from both, so retries
+                         * re-roll and can succeed.
+                         */
+                       transientFailPct: Int = 0)
+
+  /** Deterministic fetch outcome with hash-derived failure injection: a
+    * pure function of (url, attempt, cfg), identical in the sequential
+    * oracle and on every executor at any parallelism. Permanent failures
+    * are a property of the URL (all attempts fail); transient failures
+    * re-roll per attempt.
+    */
+  def fetchOutcome(url: String, attempt: Int, cfg: WebConfig): FetchOutcome =
+    if (cfg.permanentFailPct > 0 &&
+        fm(h(url + "|pfail"), 100) < cfg.permanentFailPct) PermanentFetchError
+    else if (cfg.transientFailPct > 0 &&
+        fm(h(url + "|tfail|" + attempt), 100) < cfg.transientFailPct) TransientFetchError
+    else { val (s, l) = fetchParse(url, cfg); Fetched(s, l) }
 
   /** Fixed-work CPU spin (data-dependent mix chain the JIT cannot elide;
     * ~1 ns/iter). Returns a value the caller must consume.

@@ -17,7 +17,10 @@ case class Doc(doc_id: String, spans: Seq[Span])
 /** Frontier row. Priority = discovery depth (BFS level); discovery_time is
   * a monotonic logical sequence number (clock-free determinism) — the
   * frontier total order is (priority ASC, discovery_time ASC,
-  * canonical_url ASC), per-host selection keyed by host_hash.
+  * canonical_url ASC), per-host selection keyed by host_hash. `attempts`
+  * counts PRIOR fetch attempts (transient-failure requeues re-enter with
+  * attempts+1 and the same ordering keys); it never participates in
+  * ordering or selection.
   */
 case class FrontierEntry(
     canonical_url: String,
@@ -25,7 +28,8 @@ case class FrontierEntry(
     host_hash: Long,
     priority: Int,
     discovery_time: Long,
-    depth: Int)
+    depth: Int,
+    attempts: Int = 0)
 
 /** Crawl-ordering trace: seq is 1-based within a wave. */
 case class TraceRow(wave: Int, seq: Long, host: String, canonical_url: String)
@@ -77,6 +81,20 @@ case class WaveMetrics(
     robots_denied: Long,
     budget_deferred: Long)
 
+/** Outcome of one fetch attempt — the failure channel a real HTTP fetcher
+  * needs (timeouts, 5xx, connection resets). Transient failures requeue
+  * the URL for a later wave up to [[CrawlConfig.maxFetchAttempts]] total
+  * attempts; permanent failures (4xx, malformed content) drop it
+  * immediately. Either way a failed URL stays in the seen-set (it was
+  * admitted) and is recorded in the `errors` table — never traced, never
+  * parsed, its outlinks never discovered.
+  */
+sealed trait FetchOutcome extends Serializable
+case class Fetched(spans: IndexedSeq[Span], rawLinks: IndexedSeq[String])
+  extends FetchOutcome
+case object TransientFetchError extends FetchOutcome
+case object PermanentFetchError extends FetchOutcome
+
 /** The fetch+parse contract: canonical URL -> ordered span array + raw
   * outlink strings in document order. The deterministic [[SyntheticFetcher]]
   * is the only implementation runnable in this sandbox (no network); a real
@@ -87,6 +105,18 @@ case class WaveMetrics(
 trait PageFetcher extends Serializable {
   def fetchParse(canonicalUrl: String): (IndexedSeq[Span], IndexedSeq[String])
 
+  /** One fetch attempt with a failure channel. `attempt` is the number of
+    * PRIOR attempts for this URL (0 on first try) — deterministic fetchers
+    * derive transient-failure outcomes from (url, attempt) so a retry can
+    * succeed; a real fetcher ignores it. Default: infallible
+    * [[fetchParse]], so fetchers without failure semantics (and every
+    * pre-existing implementation) are unchanged.
+    */
+  def fetchAttempt(canonicalUrl: String, attempt: Int): FetchOutcome = {
+    val (spans, links) = fetchParse(canonicalUrl)
+    Fetched(spans, links)
+  }
+
   /** GET `http://<host>/robots.txt` — the raw body, or None when the host
     * serves none (or it is unreachable, which RFC 9309 §2.3.1 treats as
     * allow-all). Pure per host in the sandbox implementation; a real
@@ -95,13 +125,25 @@ trait PageFetcher extends Serializable {
   def fetchRobots(host: String): Option[String] = None
 }
 
-/** Deterministic sandbox fetcher over [[SyntheticWeb]]. */
+/** Deterministic sandbox fetcher over [[SyntheticWeb]] — incl. the
+  * hash-derived failure injection when the web config enables it.
+  */
 case class SyntheticFetcher(web: SyntheticWeb.WebConfig) extends PageFetcher {
   override def fetchParse(url: String): (IndexedSeq[Span], IndexedSeq[String]) =
     SyntheticWeb.fetchParse(url, web)
+  override def fetchAttempt(url: String, attempt: Int): FetchOutcome =
+    SyntheticWeb.fetchOutcome(url, attempt, web)
   override def fetchRobots(host: String): Option[String] =
     SyntheticWeb.robotsTxt(host, web)
 }
+
+/** One permanently failed fetch (transient retries exhausted, or a
+  * permanent error): kind ∈ {transient_exhausted, permanent}; attempts =
+  * total attempts made. Appended to the `errors` table at the failing
+  * wave; part of the oracle-equality contract.
+  */
+case class ErrorRow(wave: Int, canonical_url: String, host: String,
+                    kind: String, attempts: Int)
 
 /** Crawl configuration shared by the oracle and the Spark engine.
   * hostBudgets: per-host politeness overrides (e.g. mapped from robots
@@ -137,6 +179,12 @@ case class CrawlConfig(
       * HTTP fetcher, or a fixture serving custom robots bodies).
       */
     fetcherOverride: Option[PageFetcher] = None,
+    /** Total fetch attempts allowed per URL: a transient failure requeues
+      * the URL for a later wave until this many attempts are spent, then
+      * it is recorded as a `transient_exhausted` error. 1 = never retry.
+      * Permanent failures ignore it (error on first attempt).
+      */
+    maxFetchAttempts: Int = 3,
     /** ROBOTS RECENCY on [[CrawlDriver.resume]] (fetchRobotsTxt mode):
       * re-fetch `<host>/robots.txt` for every host still pending and let
       * the fresh rules/Crawl-delay SUPERSEDE the earlier ones — real
@@ -160,5 +208,8 @@ case class CrawlConfig(
 
 /** Final crawl state compared between oracle and engine (BASELINE.json
   * north_rule: crawl ordering + URL-seen set; input_hint: span equality).
+  * `errors`: permanently failed fetches, normalized to
+  * (wave, canonical_url) order on both sides.
   */
-case class CrawlResult(trace: Seq[TraceRow], seen: Set[String], docs: Seq[Doc])
+case class CrawlResult(trace: Seq[TraceRow], seen: Set[String], docs: Seq[Doc],
+                       errors: Seq[ErrorRow] = Nil)

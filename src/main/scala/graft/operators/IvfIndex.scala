@@ -23,34 +23,50 @@ import org.apache.spark.sql.functions._
   *
   * DRIVER-MERGE BOUND (DESIGN.md §IVF): the per-iteration collect moves
   * one `nlist × (Dim+1) × 8`-byte buffer per non-empty partition — ~8 KB
-  * at nlist=16/Dim=64, ~2 MB at nlist=4096 — so the driver merge is fine
-  * to ~10^4 partitions (≲ tens of GB/iter at the extreme, typically far
-  * less; a 100-TB corpus trains its quantizer on a SAMPLE, not the full
-  * table, so partition counts stay modest). Beyond that, insert one
-  * deterministic pre-merge level: group partials by `pid / G` (fixed G),
-  * reduce each group in ascending-pid order distributed, then merge the
-  * group sums ascending on the driver — still a fixed summation topology,
-  * therefore still bit-deterministic, at the cost of bits differing from
-  * the flat-merge spelling (re-pin the oracle if ever switched).
+  * at nlist=16/Dim=64, ~2 MB at nlist=4096 — so the flat driver merge is
+  * fine to ~10^4 partitions (≲ tens of GB/iter at the extreme, typically
+  * far less; a 100-TB corpus trains its quantizer on a SAMPLE, not the
+  * full table, so partition counts stay modest). Past
+  * [[preMergePartitions]] one deterministic PRE-MERGE level engages:
+  * partials group by `pid / G` (fixed [[preMergeGroup]]), each group
+  * reduces in ascending-pid order DISTRIBUTED, then the ≤numParts/G group
+  * sums merge ascending on the driver — a fixed summation topology
+  * (function of partition count alone, never task timing), therefore
+  * still bit-deterministic run-to-run, at the cost of bits differing from
+  * the flat-merge spelling (the oracle gate rounds to 6dp, and the
+  * threshold keeps the flat path exact at test scale).
   */
 object IvfIndex {
   val Dim = 64
 
+  /** Above this many input partitions the per-iteration merge inserts the
+    * distributed pre-merge level (see object doc).
+    */
+  val preMergePartitions: Int = 1 << 12
+  /** Pre-merge group width: partials with `pid / G` equal reduce together
+    * distributed; the driver merges only the group sums.
+    */
+  val preMergeGroup: Int = 1 << 10
+
   /** Lloyd k-means: seed deterministically, then `lloydIters` one-job
     * refinement passes over a cached (embedding-only) projection.
+    * `preMergeAbove` is a test seam defaulting to [[preMergePartitions]].
     */
-  def train(emb: DataFrame, nlist: Int, lloydIters: Int): Array[Array[Double]] = {
+  def train(emb: DataFrame, nlist: Int, lloydIters: Int,
+            preMergeAbove: Int = preMergePartitions,
+            groupWidth: Int = preMergeGroup): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     var centroids = Similarity.seedCentroids(emb, nlist)
     if (lloydIters == 0) return centroids
     val width = Dim + 1
     val proj = emb.select($"embedding").as[Seq[Float]].cache()
+    val numParts = proj.rdd.getNumPartitions
     try {
       for (_ <- 1 to lloydIters) {
         val cents = centroids
         // one job: per-partition partial sums (nlist × (dim+1) doubles each)
-        val partials = proj.mapPartitions { it =>
+        val partialsDs = proj.mapPartitions { it =>
           val buf = new Array[Double](cents.length * width)
           var any = false
           it.foreach { e =>
@@ -64,8 +80,26 @@ object IvfIndex {
           if (any)
             Iterator.single((org.apache.spark.TaskContext.getPartitionId(), buf))
           else Iterator.empty
-        }.collect()
-        // pid-ordered merge: deterministic rounding regardless of task
+        }
+        val partials: Array[(Int, Array[Double])] =
+          if (numParts <= preMergeAbove) partialsDs.collect()
+          else {
+            // distributed pre-merge: ascending-pid reduce per pid/G group
+            // (a group is ≤G tiny buffers — sorting them in memory is
+            // trivial), then only the group sums reach the driver
+            val g = math.max(1, groupWidth)
+            val bufLen = cents.length * width
+            partialsDs.groupByKey(_._1 / g)
+              .mapGroups { (grp, it) =>
+                val acc = new Array[Double](bufLen)
+                it.toArray.sortBy(_._1).foreach { case (_, b) =>
+                  var i = 0
+                  while (i < acc.length) { acc(i) += b(i); i += 1 }
+                }
+                (grp, acc)
+              }.collect()
+          }
+        // ascending-key merge: deterministic rounding regardless of task
         // completion order (buffers are tiny — ~nlist·dim doubles each)
         val sums = new Array[Double](cents.length * width)
         partials.sortBy(_._1).foreach { case (_, b) =>

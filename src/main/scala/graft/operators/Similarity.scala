@@ -43,12 +43,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Null-safe like the previous zip_with/aggregate Column form: a null
-    * array propagates NULL, and ragged lengths yield NULL (zip_with pads
-    * the shorter side with null elements, which poisons the double fold to
-    * null) — a UDF that silently truncated to min length would change
-    * semantics for external callers.
+    * array propagates NULL, ragged lengths yield NULL (zip_with pads the
+    * shorter side with null elements, which poisons the double fold to
+    * null), and a null ELEMENT anywhere also yields NULL (the boxed-Float
+    * signature makes element nulls observable; a primitive Seq[Float]
+    * signature would NPE on unboxing instead) — a UDF that silently
+    * truncated or zero-filled would change semantics for external callers.
     */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+  private val cosineUdf = udf { (a: Seq[java.lang.Float], b: Seq[java.lang.Float]) =>
     if (a == null || b == null || a.length != b.length) None
     else {
       val n = a.length
@@ -56,15 +58,22 @@ object Similarity {
       var d = 0.0
       var na = 0.0
       var nb = 0.0
-      while (i < n) {
-        val x = a(i).toDouble
-        val y = b(i).toDouble
-        d += x * y
-        na += x * x
-        nb += y * y
+      var nullElem = false
+      while (i < n && !nullElem) {
+        val bx = a(i)
+        val by = b(i)
+        if ((bx eq null) || (by eq null)) nullElem = true
+        else {
+          val x = bx.toDouble
+          val y = by.toDouble
+          d += x * y
+          na += x * x
+          nb += y * y
+        }
         i += 1
       }
-      Some(d / (math.sqrt(na) * math.sqrt(nb)))
+      if (nullElem) None
+      else Some(d / (math.sqrt(na) * math.sqrt(nb)))
     }
   }
 

@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.crawl.{CrawlConfig, CrawlDriver, SyntheticWeb}
+import org.apache.spark.graftshim.CoreShim
+import org.apache.spark.sql.SparkSession
+
+/** Long-crawl ENDURANCE probe for the release machinery (checkpoint
+  * two-generation queue, robots-res release, seen-slice re-rooting, cache
+  * unpersists): runs a 40+-wave crawl in the FULL 10^10-scale engine
+  * configuration (lazy filters + MOR pending + store-scanned seen +
+  * robots-as-table with in-crawl acquisition) and records block-manager
+  * storage-memory usage at every wave end. The claim under test — bounded
+  * block-manager usage over unbounded waves — is published as the
+  * early-vs-late high-water comparison (BASELINE.md): if any release queue
+  * leaked, the curve grows linearly with wave count.
+  *
+  * Also runs the default (cached-seen, COW) config, whose slice re-rooting
+  * is the machinery most exercised by frequent waves.
+  *
+  * Usage: sbt "runMain graft.tools.EnduranceProbe [cores] [maxWaves] [pagesPerHost]"
+  */
+object EnduranceProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.length > 0) args(0).toInt else 8
+    val maxWaves = if (args.length > 1) args(1).toInt else 40
+    val pages = if (args.length > 2) args(2).toInt else 400
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]").appName("endurance-probe")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // budget 1/host -> ~hosts fetches per wave, so the frontier drains
+    // slowly and the run is wave-bound, exactly what the release queues see
+    // on a months-long recrawl
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = pages)
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(4, web), budgetPerHost = 1,
+      maxWaves = maxWaves, web = web, robots = Nil, fetchRobotsTxt = true)
+
+    def probe(label: String, eng: CrawlDriver.EngineConfig,
+              rerootNote: String): Unit = {
+      val root = java.nio.file.Files.createTempDirectory(s"endur-$label").toString
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      val t0 = System.nanoTime()
+      val h = CrawlDriver.run(spark, cfg, root, eng, onWaveEnd = { w =>
+        val (used, _) = CoreShim.storageMemory(spark.sparkContext)
+        samples += ((w, used))
+        if (w % 5 == 0) println(f"[endurance] $label wave=$w storage_used=${used / 1e6}%.1f MB")
+      })
+      val secs = (System.nanoTime() - t0) / 1e9
+      val vals = samples.map(_._2)
+      val firstQ = vals.take(math.max(1, vals.size / 4)).max
+      val lastQ = vals.takeRight(math.max(1, vals.size / 4)).max
+      println(f"[endurance] $label waves=${h.wavesRun} fetched=${h.fetchedTotal} " +
+        f"secs=$secs%.1f $rerootNote")
+      println(f"[endurance] $label storage high-water: first-quartile " +
+        f"${firstQ / 1e6}%.1f MB, last-quartile ${lastQ / 1e6}%.1f MB, " +
+        f"late/early ratio ${lastQ.toDouble / math.max(1L, firstQ)}%.2f " +
+        f"(flat curve = bounded release machinery)")
+      println("[endurance] " + label + " per-wave MB: " +
+        samples.map { case (w, u) => f"$w:${u / 1e6}%.0f" }.mkString(" "))
+    }
+
+    probe("scale-mode", CrawlDriver.EngineConfig(filterDistribution = "lazy",
+      pendingStorage = "mor", seenStorage = "store", robotsStorage = "table"),
+      "(lazy+mor+store+table)")
+    probe("cached-mode", CrawlDriver.EngineConfig(rerootSeenEvery = 8),
+      "(default broadcast/cow/cached, re-root every 8)")
+    spark.stop()
+  }
+}

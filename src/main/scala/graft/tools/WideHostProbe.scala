@@ -44,7 +44,16 @@ object WideHostProbe {
         robots = Nil, fetchRobotsTxt = true),
       java.nio.file.Files.createTempDirectory("whp-warm").toString, engFull)
 
-    def timed(label: String, eng: CrawlDriver.EngineConfig): (Long, Long) = {
+    // order-independent CONTENT digest of a table (sum of per-row hashes
+    // over every column) — distributed, nothing collected; distinct traces
+    // or seen-sets with equal counts cannot pass it
+    def contentHash(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.functions._
+      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+        .agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
+    }
+
+    def timed(label: String, eng: CrawlDriver.EngineConfig): (Long, Long, Long, Long) = {
       val root = java.nio.file.Files.createTempDirectory(s"whp-$label").toString
       val t0 = System.nanoTime()
       val h = CrawlDriver.run(spark, cfg, root, eng)
@@ -57,13 +66,15 @@ object WideHostProbe {
         f"deduped=$deduped robots_rules=$nRules robots_hosts=$nHosts " +
         f"hints_applied=${h.robotsHintsApplied} hints_withheld=${h.robotsHintsWithheld} " +
         f"secs=$secs%.1f urls_per_sec=${(h.fetchedTotal + deduped) / secs}%.0f")
-      (h.fetchedTotal, deduped)
+      (h.fetchedTotal, deduped,
+        contentHash(h.store.read("trace")), contentHash(h.store.read("seen")))
     }
 
     val a = timed("hinted", engFull)
     val b = timed("withheld", engFull.copy(robotsBroadcastMaxRows = 0))
     require(a == b, s"strategy knob changed output: $a vs $b")
-    println("[wide-host] outputs identical across hint regimes")
+    println("[wide-host] outputs identical across hint regimes " +
+      "(trace + seen content hashes, order-independent)")
     spark.stop()
   }
 }
