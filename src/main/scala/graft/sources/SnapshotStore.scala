@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.StructType
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.nio.charset.StandardCharsets
 
 /** Iceberg-SEMANTICS snapshot table store over Parquet + JSON manifests.
@@ -329,14 +329,37 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       }
     }
 
-    /** Phase 2: re-check the parent, then manifest + atomic CURRENT swap. */
+    /** Phase 2: CAS-claim the version, then atomic CURRENT swap. The
+      * manifest file itself is the compare-and-swap token: it is written
+      * CREATE_NEW (atomic create-if-absent on POSIX and HDFS-like stores),
+      * so exactly ONE committer per version number can ever publish —
+      * a racing committer from the same parent loses AT THE CLAIM with
+      * [[ConcurrentCommitException]], before any CURRENT mutation, and its
+      * commit-unique data dirs are GC orphans. This closes the old
+      * check-then-write TOCTOU where two same-parent committers could both
+      * pass the parent check and last-writer-win the swap. Caveat
+      * (documented, matching the single-committer wave loop): a committer
+      * that CRASHES between claim and swap leaves an orphaned
+      * `v<N>.json` that blocks version N — recovery is deleting the
+      * unreferenced manifest (its version is above CURRENT, so nothing
+      * reads it; real Iceberg resolves the same window via its catalog's
+      * atomic pointer CAS + retry loop).
+      */
     private[sources] def publish(): Long = {
       Files.createDirectories(rootPath.resolve("manifests"))
-      checkParentCurrent() // narrow the publish race to the swap itself
+      checkParentCurrent() // cheap early-out for obviously stale commits
       val m = Manifest(newVersion, parentManifest.map(_.version).getOrElse(-1L),
         summaryMap, tables)
       val json = Serialization.writePretty(m)
-      Files.write(manifestPath(newVersion), json.getBytes(StandardCharsets.UTF_8))
+      try
+        Files.write(manifestPath(newVersion), json.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(
+            s"version $newVersion already claimed — another commit from " +
+              s"parent ${parentManifest.map(_.version).getOrElse(-1L)} published first")
+      }
       val tmp = rootPath.resolve(s"CURRENT.tmp.$newVersion")
       Files.write(tmp, newVersion.toString.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,

@@ -136,6 +136,33 @@ class SnapshotStoreSpec extends AnyFunSuite {
       === Seq((0, "base"), (1, "win")))
   }
 
+  test("CAS claim: a racing committer that passed the parent check BEFORE " +
+    "the winner swapped CURRENT still loses at the manifest create-if-absent " +
+    "claim — and cannot truncate the winner's manifest or move CURRENT") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val store = new SnapshotStore(root, spark)
+    store.beginCommit().append("log", Seq((0, "base")).toDF("id", "v")).commit()
+    val winner = store.beginCommit().append("log", Seq((1, "win")).toDF("id", "v"))
+    val loser = store.beginCommit().append("log", Seq((2, "lose")).toDF("id", "v"))
+    winner.writeAll()
+    loser.writeAll()
+    assert(winner.publish() === 1L)
+    val winnerManifest = Files.readString(Paths.get(root, "manifests/v1.json"))
+    // reproduce the old TOCTOU window deterministically: the loser's parent
+    // check runs while CURRENT still reads the shared parent (simulated by
+    // reverting the pointer), so only the CAS claim can stop it now
+    Files.writeString(Paths.get(root, "CURRENT"), "0")
+    intercept[ConcurrentCommitException] { loser.publish() }
+    // the loser made NO metadata mutation: the claimed manifest is intact
+    // (CREATE_NEW cannot truncate) and CURRENT is exactly as it found it
+    assert(Files.readString(Paths.get(root, "manifests/v1.json")) === winnerManifest)
+    assert(Files.readString(Paths.get(root, "CURRENT")) === "0")
+    Files.writeString(Paths.get(root, "CURRENT"), "1") // restore
+    assert(store.read("log").as[(Int, String)].collect().sorted.toSeq
+      === Seq((0, "base"), (1, "win")))
+  }
+
   test("expireSnapshots never touches dirs ABOVE CURRENT — the in-flight " +
     "window between writeAll and publish") {
     import spark.implicits._
@@ -153,19 +180,27 @@ class SnapshotStoreSpec extends AnyFunSuite {
       === Seq((0, "base"), (1, "next")))
   }
 
-  test("atomicity: unswapped manifest is invisible; reopened store resumes at CURRENT") {
+  test("atomicity: unswapped manifest is invisible; reopened store resumes " +
+    "at CURRENT; the orphaned claim blocks its version until removed (CAS " +
+    "semantics — a live slow claimer is indistinguishable from a dead one)") {
     import spark.implicits._
     val root = tmpRoot()
     val store = new SnapshotStore(root, spark)
     store.beginCommit().append("log", Seq((1, "a")).toDF("id", "v")).commit()
-    // simulate a crash after manifest write but before pointer swap:
+    // simulate a crash after manifest claim but before pointer swap:
     // hand-write an orphan v1 manifest; CURRENT still points at v0
     val m0 = Files.readString(Paths.get(root, "manifests/v0.json"))
     Files.writeString(Paths.get(root, "manifests/v1.json"), m0.replace("\"version\" : 0", "\"version\" : 1"))
     val reopened = new SnapshotStore(root, spark)
     assert(reopened.currentVersion === Some(0L))
     assert(reopened.read("log").count() === 1)
-    // next commit from the reopened store wins over the orphan
+    // the claim is honored: a new commit must NOT silently overwrite it
+    // (it could belong to a live committer one instruction from its swap)
+    intercept[ConcurrentCommitException] {
+      reopened.beginCommit().append("log", Seq((2, "b")).toDF("id", "v")).commit()
+    }
+    // documented recovery for a KNOWN-dead claimer: remove the orphan
+    Files.delete(Paths.get(root, "manifests/v1.json"))
     val v = reopened.beginCommit().append("log", Seq((2, "b")).toDF("id", "v")).commit()
     assert(v === 1L)
     assert(reopened.read("log").count() === 2)
