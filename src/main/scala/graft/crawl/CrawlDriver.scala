@@ -93,6 +93,15 @@ object CrawlDriver {
         * output. */
       robotsBroadcastMaxRows: Long = 1L << 20,
       compactPendingEvery: Int = 8,
+      /** Seed lists at or below this size ingest on the driver (canonicalize
+        * + first-occurrence dedup over a local collection — cheap, and the
+        * wave-0 plans stay LocalRelations). Above it, run() switches to the
+        * DISTRIBUTED seed path: a 10^7-URL recrawl seed list as a local
+        * relation makes Catalyst evaluate every wave-0 projection on the
+        * driver single-threaded (`ConvertToLocalRelation`) and SizeEstimator
+        * walk 10^7 rows per cached block — measured as a multi-minute driver
+        * stall at 10^7 seeds. Strategy-only: never changes output. */
+      seedIngestLocalMax: Long = 1L << 20,
       verbose: Boolean = false)
 
   case class RunHandle(store: SnapshotStore, wavesRun: Int, fetchedTotal: Long,
@@ -126,7 +135,13 @@ object CrawlDriver {
         * store copy rides the async wave-0 commit, so wave 1 joins against
         * this in-memory delta.
         */
-      robotsDelta: Option[(DataFrame, DataFrame)] = None)
+      robotsDelta: Option[(DataFrame, DataFrame)] = None,
+      /** Driver-tracked robots-table row count backing the broadcast hint.
+        * The small seed path derives it from the (driver-resident) seed
+        * acquisition maps; the DISTRIBUTED seed path counts the acquired
+        * rows on the executors and passes the total here — the maps stay
+        * empty there by design. */
+      robotsRows0: Option[Long] = None)
 
   /** Result of a wave's async filter maintenance. */
   private sealed trait FilterUpdate
@@ -192,6 +207,43 @@ object CrawlDriver {
       .withColumn("wave", lit(wave))
     val hostRows = res.select($"host", $"budget").withColumn("wave", lit(wave))
     (ruleRows, hostRows, res)
+  }
+
+  /** Robots-at-admission for TABLE mode, shared by the wave loop and the
+    * distributed seed-ingest path so admission semantics cannot drift:
+    * LATEST-WAVE-WINS rule resolution (a host's most recent fetch event —
+    * from the hosts table, incl. this wave's acquisitions — fully
+    * supersedes its earlier rule rows; hosts with no fetch events =
+    * fixture-mode config rules stay always-active), then a host-keyed JOIN
+    * + longest-prefix-wins aggregate per URL (max over (prefix_len,
+    * -rule_order); no matching rule -> allow) — identical semantics to
+    * [[RobotsEval.allowed]], zero driver-resident rules. Dimension ×
+    * dimension join: both sides are host-sized, shuffled (or broadcast,
+    * same hint policy) by host exactly like the main admission join.
+    * `numbered` must carry exactly (canonical_url, host, host_hash,
+    * priority, discovery_time, depth); returns it plus `__allowed`.
+    */
+  private def robotsAdmissionJoin(spark: SparkSession, numbered: DataFrame,
+      rulesAllWaves: DataFrame, hostsAllWaves: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val pathU = udf((u: String) => CanonicalUrl.path(u))
+    val latestFetch = hostsAllWaves.groupBy($"host").agg(max($"wave").as("__lw"))
+    val rulesAll = rulesAllWaves
+      .join(hint(latestFetch), Seq("host"), "left")
+      .filter($"__lw".isNull || $"wave" === $"__lw")
+      .drop("__lw", "wave")
+    numbered.join(hint(rulesAll), Seq("host"), "left")
+      .withColumn("__m", $"path_prefix".isNotNull &&
+        pathU($"canonical_url").startsWith($"path_prefix"))
+      .groupBy($"canonical_url", $"host", $"host_hash",
+        $"priority", $"discovery_time", $"depth")
+      .agg(max(when($"__m", struct(
+        length($"path_prefix").as("l"),
+        (-$"rule_order").as("o"),
+        $"allow".as("allow")))).as("__b"))
+      .withColumn("__allowed", coalesce($"__b.allow", lit(true)))
+      .drop("__b")
   }
 
   /** Fetch+parse `<host>/robots.txt` for each host ON EXECUTORS (robots
@@ -397,6 +449,21 @@ object CrawlDriver {
     import spark.implicits._
     val store = new SnapshotStore(storeRoot, spark)
 
+    if (cfg.seeds.size > eng.seedIngestLocalMax) {
+      // A 10^7-URL recrawl seed list as a LOCAL relation makes Catalyst
+      // evaluate every wave-0 projection on the driver single-threaded
+      // (ConvertToLocalRelation) and SizeEstimator walk the rows per cached
+      // block — measured as a multi-minute driver stall. Route through the
+      // distributed ingest instead; output identical (EQ-asserted).
+      val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+        (cfg.seeds.size / 200000) + 1)
+      val rows = spark.sparkContext.parallelize(cfg.seeds, parts)
+        .zipWithIndex() // = position in the operator-given seed order
+        .map { case (u, i) => org.apache.spark.sql.Row(u, i) }
+      return runSeedsDistributed(spark, cfg, store,
+        eng, spark.createDataFrame(rows, seedInputSchema), onWaveEnd)
+    }
+
     // ---- robots state: HOST-KEYED rule map — the per-URL probe is one map
     // lookup plus a longest-prefix scan of that host's handful of rules,
     // never a scan of the whole rule dimension (at 10^7 hosts a flat-list
@@ -480,12 +547,13 @@ object CrawlDriver {
         "next_discovery_seq" -> seedRows.size.toString,
         "fetched_total" -> "0")
 
-    // run()-path fast start: the seeds are driver-resident operator input
-    // (true at any scale — they arrived in cfg), so the initial state is
-    // known a priori: the filter builds in-process, the frontier/seen pass
-    // as plan hints, and the wave-0 commit itself rides the async inFlight
-    // rail, overlapping with wave 1's selection + fetch instead of
-    // serializing ahead of it. resume() pays the store read-back instead.
+    // run()-path fast start (small-seed path): the seeds are driver-
+    // resident operator input, so the initial state is known a priori: the
+    // filter builds in-process, the frontier/seen pass as plan hints, and
+    // the wave-0 commit itself rides the async inFlight rail, overlapping
+    // with wave 1's selection + fetch instead of serializing ahead of it.
+    // resume() pays the store read-back instead; seed lists past
+    // seedIngestLocalMax go through runSeedsDistributed.
     val initFilter: Option[ShardedSeenFilter] =
       if (eng.seenFilter == "none" || eng.filterDistribution == "lazy") None
       else {
@@ -511,6 +579,156 @@ object CrawlDriver {
       pendingCount = seedRows.count(_._8).toLong,
       wave0Commit = wave0,
       robotsDelta = robots0)), onWaveEnd = onWaveEnd)
+  }
+
+  /** Schema of the distributed seed-ingest input: the raw operator-given
+    * seed list as rows; `seed_seq` = the URL's 0-based position in that
+    * list. It defines first-occurrence order and hence discovery_time,
+    * exactly like the driver-side path's list order.
+    */
+  val seedInputSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL("url STRING, seed_seq BIGINT")
+
+  /** Run a crawl whose seed list arrives AS A TABLE of [[seedInputSchema]]
+    * rows — the 10^8+-seed recrawl shape, where the list lives in storage
+    * and must never materialize on the driver. `cfg.seeds` is ignored.
+    * Output is identical to [[run]] with the equivalent in-order seed Seq
+    * (EQ-asserted).
+    */
+  def runWithSeedTable(spark: SparkSession, cfg: CrawlConfig, storeRoot: String,
+      seeds: DataFrame, eng: EngineConfig = EngineConfig(),
+      onWaveEnd: Int => Unit = _ => ()): RunHandle =
+    runSeedsDistributed(spark, cfg, new SnapshotStore(storeRoot, spark), eng,
+      seeds, onWaveEnd)
+
+  /** DISTRIBUTED wave-0 seed ingest ([[run]] past
+    * [[EngineConfig.seedIngestLocalMax]], and [[runWithSeedTable]]):
+    * canonicalize, first-occurrence dedup, dense discovery numbering
+    * (two-phase rank — see [[withGlobalSeq]]) and robots
+    * acquisition/admission all run as Spark jobs; the driver never holds a
+    * URL, and in table-robots mode not a host either. Semantics identical
+    * to the driver-side path (EQ-asserted): dedup keeps the canonical
+    * form's FIRST seed position, discovery_time is the dense 0..n-1 rank
+    * in that order, denied seeds occupy seen only.
+    */
+  private def runSeedsDistributed(spark: SparkSession, cfg: CrawlConfig,
+      store: SnapshotStore, eng: EngineConfig, seedsRaw: DataFrame,
+      onWaveEnd: Int => Unit): RunHandle = {
+    import spark.implicits._
+    val canonU = udf((u: String) => CanonicalUrl.canonicalize(u))
+    val hostU = udf((u: String) => CanonicalUrl.host(u))
+    val first = seedsRaw
+      .select(canonU($"url").as("canonical_url"), $"seed_seq")
+      .groupBy($"canonical_url").agg(min($"seed_seq").as("__fs"))
+    val numbered = withGlobalSeq(first, Seq("__fs"), "discovery_time")
+      .withColumn("host", hostU($"canonical_url"))
+      .withColumn("host_hash", xxhash64($"host"))
+      .withColumn("priority", lit(0))
+      .withColumn("depth", lit(0))
+      .select($"canonical_url", $"host", $"host_hash", $"priority",
+        $"discovery_time", $"depth")
+      // ONE materialization feeds robots acquisition, admission, seen0 and
+      // pending0; released on the bootstrap two-generation schedule
+      .localCheckpoint(false)
+
+    val configRules = RobotsEval.byHost(cfg.robots)
+    val tableRobots = eng.robotsStorage == "table"
+    var rulesByHost = configRules
+    var budgetsByHost = Map.empty[String, Int]
+    var knownHosts: Set[String] = Set.empty
+    var robots0: Option[(DataFrame, DataFrame)] = None
+    var robotsRows0 = 0L
+    var seedCkpts: List[DataFrame] = List(numbered)
+
+    val withAllowed: DataFrame =
+      if (cfg.fetchRobotsTxt && tableRobots) {
+        // the 10^7+-host shape end-to-end: acquisition, the rule rows and
+        // the admission check all stay on the executors
+        val crb = spark.sparkContext.broadcast(configRules)
+        val (ruleRows, hostRows, res) = acquireRobotsDf(spark, cfg.fetcher,
+          cfg.userAgent, crb, cfg.wavePeriodSeconds,
+          numbered.select($"host").distinct(), wave = 0)
+        seedCkpts ::= res
+        // actual acquired row count (executor agg) — seeds the broadcast-
+        // hint bound exactly like the in-wave acquisition; also the first
+        // job, so it materializes the numbered-seed and res checkpoints
+        val stats = res.agg(count(lit(1)).as("h"),
+          coalesce(sum(size($"rules")), lit(0L)).as("r")).head()
+        robotsRows0 = stats.getLong(0) + stats.getLong(1)
+        robots0 = Some((ruleRows, hostRows))
+        val hint: DataFrame => DataFrame =
+          if (robotsRows0 <= eng.robotsBroadcastMaxRows) broadcast(_)
+          else identity
+        robotsAdmissionJoin(spark, numbered, ruleRows, hostRows, hint)
+      } else {
+        if (cfg.fetchRobotsTxt) {
+          // broadcast robots: the host dimension is driver-resident BY
+          // DESIGN (≤10^6 hosts) — only the DISTINCT hosts come back,
+          // never URLs
+          val hosts =
+            numbered.select($"host").distinct().as[String].collect().toSeq
+          val resolved =
+            fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
+          val (r, b, k) = mergeHostRobots(resolved, configRules,
+            cfg.wavePeriodSeconds, rulesByHost, budgetsByHost, knownHosts)
+          rulesByHost = r; budgetsByHost = b; knownHosts = k
+        }
+        if (tableRobots) { // fixture mode: config rules = the wave-0 table
+          robots0 = Some(robotsDfs(spark, cfg.robots, Nil, wave = 0))
+          robotsRows0 = cfg.robots.size.toLong
+        }
+        val rb = spark.sparkContext.broadcast(rulesByHost)
+        val allowedU = udf((u: String) =>
+          RobotsEval.allowed(rb.value.getOrElse(CanonicalUrl.host(u), Nil),
+            CanonicalUrl.path(u)))
+        numbered.withColumn("__allowed", allowedU($"canonical_url"))
+      }
+
+    val pending0 = withAllowed.filter($"__allowed").drop("__allowed")
+      .withColumn("attempts", lit(0))
+      .select(frontierSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // seen carries ALL canonical seeds — denied ones occupy seen only
+    val seen0 = numbered.select($"canonical_url", $"host_hash")
+      .withColumn("shard",
+        pmod($"host_hash", lit(eng.bloomShards.toLong)).cast("int"))
+    val nSeeds = numbered.count()
+    val admittedCount = pending0.count()
+
+    val wave0 = store.beginCommit()
+    if (eng.pendingStorage == "mor")
+      wave0.replace(PendingBase, pending0)
+        .declare(PendingDelta, pendingDeltaSchema)
+    else wave0.replace("pending", pending0)
+    robots0.foreach { case (rdf, hdf) =>
+      wave0.append(RobotsRules, rdf).append(RobotsHosts, hdf)
+    }
+    wave0
+      .append("seen", seen0.repartition(col("shard")).sortWithinPartitions("shard"))
+      .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
+      .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
+      .declare("errors", org.apache.spark.sql.Encoders.product[ErrorRow].schema)
+      .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
+      .summary("wave" -> "0",
+        "seeds" -> nSeeds.toString,
+        "admitted" -> nSeeds.toString,
+        "next_discovery_seq" -> nSeeds.toString,
+        "fetched_total" -> "0")
+
+    loop(spark, cfg, store, eng, rulesByHost, budgetsByHost, knownHosts,
+      fast = Some(FastStart(
+        pending = pending0,
+        seen0 = seen0,
+        // None: broadcast-filter configs build it in the loop from seen0
+        // via the executor-side shard aggregator — never URL-by-URL on the
+        // driver like the small-seed path's in-process build
+        filter = None,
+        nextSeq = nSeeds,
+        pendingCount = admittedCount,
+        wave0Commit = wave0,
+        robotsDelta = robots0,
+        robotsRows0 = if (tableRobots) Some(robotsRows0) else None)),
+      bootstrapCkpts = seedCkpts,
+      onWaveEnd = onWaveEnd)
   }
 
   /** Resume from the CURRENT snapshot of an existing store. In
@@ -588,7 +806,7 @@ object CrawlDriver {
       rules0 = r; budgets0 = b; known0 = k
     }
     loop(spark, cfg, store, eng, rules0, budgets0, known0, robotsTables0,
-      bootstrapCkpt = bootstrapRes)
+      bootstrapCkpts = bootstrapRes.toSeq)
   }
 
   // ---------------------------------------------------------------------
@@ -599,14 +817,17 @@ object CrawlDriver {
                    known0: Set[String],
                    robotsTables0: Option[(DataFrame, DataFrame)] = None,
                    fast: Option[FastStart] = None,
-                   /** resume-bootstrap robots acquisition checkpoint — its
-                     * rows ride the first commit via robotsUncommitted and
-                     * its release must follow the SAME two-generation
-                     * timing as a wave-1 acquisition (joins wave 1's
-                     * ckptCur), because wave 2's selection plan still
-                     * embeds it through robotsDelta until wave 3's await.
+                   /** pre-loop checkpoints (resume-bootstrap robots
+                     * acquisition; distributed seed ingest's numbered-seed
+                     * and seed-robots checkpoints) — their rows ride the
+                     * first commit / back the wave-1 plans, and their
+                     * release must follow the SAME two-generation timing as
+                     * a wave-1 acquisition (they join wave 1's ckptCur),
+                     * because wave 2's plans may still embed them (through
+                     * robotsDelta, or the wave-1 caches built over the seed
+                     * frontier) until wave 3's await.
                      */
-                   bootstrapCkpt: Option[DataFrame] = None,
+                   bootstrapCkpts: Seq[DataFrame] = Nil,
                    onWaveEnd: Int => Unit = _ => ()): RunHandle = {
     import spark.implicits._
 
@@ -660,9 +881,10 @@ object CrawlDriver {
     var robotsRowsApprox: Long =
       if (!tableRobots) 0L
       else if (fast.nonEmpty)
-        math.max(cfg.robots.size.toLong,
-          knownHosts.size.toLong +
-            knownHosts.iterator.map(h => rulesByHost.getOrElse(h, Nil).size.toLong).sum)
+        fast.get.robotsRows0.getOrElse(
+          math.max(cfg.robots.size.toLong,
+            knownHosts.size.toLong +
+              knownHosts.iterator.map(h => rulesByHost.getOrElse(h, Nil).size.toLong).sum))
       else if (store.currentManifest.exists(_.tables.contains(RobotsRules)))
         store.read(RobotsRules).count() + store.read(RobotsHosts).count() +
           robotsBootstrapRows
@@ -743,7 +965,10 @@ object CrawlDriver {
       val filter0: ShardedSeenFilter =
         if (!useFilter) AlwaysMaybe
         else fast.flatMap(_.filter).getOrElse {
-          val rows = store.read("seen")
+          // resume: the committed seen table; distributed seed ingest (fast
+          // path, filter=None): the wave-0 seen hint — its commit is still
+          // in flight, and the build is the same executor-side shard agg
+          val rows = fast.map(_.seen0).getOrElse(store.read("seen"))
             .withColumn("__shard", pmod($"host_hash", lit(nsh.toLong)).cast("int"))
             .groupBy($"__shard").agg(buildShardAgg().as("bits"))
             .collect()
@@ -810,7 +1035,7 @@ object CrawlDriver {
     // point every cached plan over those blocks has itself been dropped.
     var ckptPrev: List[DataFrame] = Nil
     var ckptCur: List[DataFrame] = Nil
-    var bootstrapRes: Option[DataFrame] = bootstrapCkpt
+    var bootstrapRes: Seq[DataFrame] = bootstrapCkpts
 
     def awaitInFlight(): Unit = {
       scala.concurrent.Await
@@ -1149,31 +1374,12 @@ object CrawlDriver {
                 CanonicalUrl.path(u)))
             numbered.withColumn("__allowed", allowedUdf($"canonical_url")).cache()
           } else {
-            val pathU = udf((u: String) => CanonicalUrl.path(u))
-            // LATEST-WAVE-WINS: a host's most recent fetch event (from the
-            // hosts table, incl. this wave's acquisitions) fully supersedes
-            // its earlier rule rows — robots recency under re-fetch. Hosts
-            // with no fetch events (fixture-mode config rules) have no
-            // hosts-table rows and stay active. Dimension × dimension join:
-            // both sides are host-sized, shuffled (or broadcast, same hint
-            // policy) by host exactly like the main admission join.
-            val latestFetch = hostsKnown.unionByName(newHostRows)
-              .groupBy($"host").agg(max($"wave").as("__lw"))
-            val rulesAll = rulesKnown.unionByName(newRuleRows)
-              .join(hintRobots(latestFetch), Seq("host"), "left")
-              .filter($"__lw".isNull || $"wave" === $"__lw")
-              .drop("__lw", "wave")
-            numbered.join(hintRobots(rulesAll), Seq("host"), "left")
-              .withColumn("__m", $"path_prefix".isNotNull &&
-                pathU($"canonical_url").startsWith($"path_prefix"))
-              .groupBy($"canonical_url", $"host", $"host_hash",
-                $"priority", $"discovery_time", $"depth")
-              .agg(max(when($"__m", struct(
-                length($"path_prefix").as("l"),
-                (-$"rule_order").as("o"),
-                $"allow".as("allow")))).as("__b"))
-              .withColumn("__allowed", coalesce($"__b.allow", lit(true)))
-              .drop("__b")
+            // LATEST-WAVE-WINS resolution + longest-prefix admission join,
+            // shared with the distributed seed path — see
+            // [[robotsAdmissionJoin]].
+            robotsAdmissionJoin(spark, numbered,
+              rulesKnown.unionByName(newRuleRows),
+              hostsKnown.unionByName(newHostRows), hintRobots)
               .cache()
           }
         val admitted = withRobots.filter($"__allowed")
@@ -1314,7 +1520,7 @@ object CrawlDriver {
         ckptPrev = ckptPrev ++ ckptCur
         ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
-        bootstrapRes = None
+        bootstrapRes = Nil
         if (cachedSeen) {
           seenSlices :+= newSeen
           maxSeenSlices = math.max(maxSeenSlices, seenSlices.size)

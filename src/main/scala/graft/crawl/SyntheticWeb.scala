@@ -150,10 +150,18 @@ object SyntheticWeb {
   /** Ordered seed list (FIXTURES.md §A3): canonical-form-varying URLs; list
     * order defines discovery_time 0..n-1.
     */
-  def seedUrls(n: Int, cfg: WebConfig): Seq[String] = (0 until n).map { i =>
+  def seedUrls(n: Int, cfg: WebConfig): Seq[String] =
+    (0 until n).map(seedUrl(_, cfg))
+
+  /** The i-th seed URL — a pure function of the index, so huge seed lists
+    * can be GENERATED distributed (`spark.range(n)` + this per row) and fed
+    * through [[CrawlDriver.runWithSeedTable]] without ever existing as a
+    * driver collection.
+    */
+  def seedUrl(i: Long, cfg: WebConfig): String = {
     val hostIdx = i % cfg.hosts
     val k = i % cfg.pagesPerHost
-    i % 5 match {
+    (i % 5).toInt match {
       case 0 => s"http://host$hostIdx.test/p/$k"
       case 1 => s"HTTP://host$hostIdx.TEST:80/p/$k#frag"
       case 2 => s"http://host$hostIdx.test/a/b/../../p/$k"

@@ -31,9 +31,20 @@ object WideHostProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val web = SyntheticWeb.WebConfig(hosts = hosts, pagesPerHost = 6)
-    val cfg = CrawlConfig(SyntheticWeb.seedUrls(hosts, web), budgetPerHost = 2,
+    val cfg = CrawlConfig(Nil /* seeds arrive as a TABLE below */,
+      budgetPerHost = 2,
       maxWaves = maxWaves, maxUrls = 3L * hosts, web = web,
       robots = Nil, fetchRobotsTxt = true)
+    // seeds GENERATED distributed (pure function of the index) and fed as a
+    // table — at 10^7 hosts the list must never exist on the driver
+    def seedsDf = {
+      import spark.implicits._
+      val w = web
+      spark.range(0, hosts.toLong,  1,
+          math.max(cores, hosts / 200000))
+        .map(i => (SyntheticWeb.seedUrl(i, w), i))
+        .toDF("url", "seed_seq")
+    }
     val engFull = CrawlDriver.EngineConfig(filterDistribution = "lazy",
       pendingStorage = "mor", seenStorage = "store", robotsStorage = "table")
 
@@ -56,7 +67,7 @@ object WideHostProbe {
     def timed(label: String, eng: CrawlDriver.EngineConfig): (Long, Long, Long, Long) = {
       val root = java.nio.file.Files.createTempDirectory(s"whp-$label").toString
       val t0 = System.nanoTime()
-      val h = CrawlDriver.run(spark, cfg, root, eng)
+      val h = CrawlDriver.runWithSeedTable(spark, cfg, root, seedsDf, eng)
       val secs = (System.nanoTime() - t0) / 1e9
       import org.apache.spark.sql.functions._
       val deduped = h.store.read("metrics").agg(sum("deduped")).head().getLong(0)
