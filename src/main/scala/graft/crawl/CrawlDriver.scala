@@ -102,6 +102,11 @@ object CrawlDriver {
         * walk 10^7 rows per cached block — measured as a multi-minute driver
         * stall at 10^7 seeds. Strategy-only: never changes output. */
       seedIngestLocalMax: Long = 1L << 20,
+      /** Numbering stages ([[withGlobalSeq]]) at or below this many rows
+        * use a single-partition window; above it, the two-phase
+        * range-partition rank. Strategy-only (identical numbering, EQ-
+        * asserted); a test seam at 0 forces the scale path per wave. */
+      seqWindowMax: Long = 1L << 20,
       verbose: Boolean = false)
 
   case class RunHandle(store: SnapshotStore, wavesRun: Int, fetchedTotal: Long,
@@ -398,14 +403,23 @@ object CrawlDriver {
     * range-partition + per-partition offset (SURVEY.md §2.5 Q4) — avoids a
     * single-partition global window so numbering scales with cores.
     * `order` must be a total order (unique key).
+    *
+    * The two-phase path pins an internal localCheckpoint (`ranged`) whose
+    * blocks back the returned plan; `onCheckpoint` hands it to the caller
+    * for release on the caller's checkpoint schedule (Dataset.unpersist is
+    * a no-op for checkpoint RDDs — without explicit release each
+    * above-2^20 numbering leaks an input-sized checkpoint for the life of
+    * the session).
     */
   def withGlobalSeq(df: DataFrame, order: Seq[String], out: String,
-                    sizeHint: Long = Long.MaxValue): DataFrame = {
+                    sizeHint: Long = Long.MaxValue,
+                    onCheckpoint: DataFrame => Unit = _ => (),
+                    windowMax: Long = 1L << 20): DataFrame = {
     val cols = order.map(col)
     // small inputs: a single-partition window is cheaper than three stages
     // and yields the identical (deterministic) numbering; the two-phase
     // path is for the multi-million-row waves of a real frontier
-    if (sizeHint <= (1L << 20)) {
+    if (sizeHint <= windowMax) {
       return df.withColumn(out,
         row_number().over(Window.orderBy(cols: _*)).cast("long") - 1L)
     }
@@ -420,6 +434,7 @@ object CrawlDriver {
       .sortWithinPartitions(cols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)
+    onCheckpoint(ranged)
     // per-partition counts are n tiny rows: the single-partition running-sum
     // window below is over those n rows, never the data
     val offsets = ranged
@@ -617,10 +632,15 @@ object CrawlDriver {
     import spark.implicits._
     val canonU = udf((u: String) => CanonicalUrl.canonicalize(u))
     val hostU = udf((u: String) => CanonicalUrl.host(u))
+    // all seed-ingest checkpoints (incl. withGlobalSeq's internal ranged
+    // stage) ride the bootstrap release schedule: bootstrapRes → ckptCur at
+    // first wave end → freed once no plan can re-evaluate through them
+    var seedCkpts: List[DataFrame] = Nil
     val first = seedsRaw
       .select(canonU($"url").as("canonical_url"), $"seed_seq")
       .groupBy($"canonical_url").agg(min($"seed_seq").as("__fs"))
-    val numbered = withGlobalSeq(first, Seq("__fs"), "discovery_time")
+    val numbered = withGlobalSeq(first, Seq("__fs"), "discovery_time",
+        onCheckpoint = ck => seedCkpts ::= ck)
       .withColumn("host", hostU($"canonical_url"))
       .withColumn("host_hash", xxhash64($"host"))
       .withColumn("priority", lit(0))
@@ -638,7 +658,7 @@ object CrawlDriver {
     var knownHosts: Set[String] = Set.empty
     var robots0: Option[(DataFrame, DataFrame)] = None
     var robotsRows0 = 0L
-    var seedCkpts: List[DataFrame] = List(numbered)
+    seedCkpts ::= numbered
 
     val withAllowed: DataFrame =
       if (cfg.fetchRobotsTxt && tableRobots) {
@@ -684,9 +704,15 @@ object CrawlDriver {
         numbered.withColumn("__allowed", allowedU($"canonical_url"))
       }
 
+    // localCheckpoint: the admission join output feeds the count below, the
+    // async wave-0 commit write AND wave 1's selection — materialize it once
+    // (at admittedCount) instead of re-running the host-join/groupBy three
+    // times over the full seed set. Released by the loop's own pendingDF
+    // schedule (superseded at wave 1's end, or the exit path).
     val pending0 = withAllowed.filter($"__allowed").drop("__allowed")
       .withColumn("attempts", lit(0))
       .select(frontierSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .localCheckpoint(false)
     // seen carries ALL canonical seeds — denied ones occupy seen only
     val seen0 = numbered.select($"canonical_url", $"host_hash")
       .withColumn("shard",
@@ -873,8 +899,11 @@ object CrawlDriver {
     // driver-tracked upper bound on robots-table rows, steering the
     // broadcast hint (the tables themselves are never collected; per-wave
     // growth is aggregated from the actual acquired rule counts, and
-    // resume-bootstrap deltas — refetch/mode-switch rows — are counted in:
-    // their parallelize-backed counts are local and cheap)
+    // resume-bootstrap deltas — refetch/mode-switch rows — are counted in.
+    // NB: on a refetch-resume these counts EVALUATE the distributed robots
+    // fetch pre-pass (acquireRobotsDf checkpoint) at loop setup — not free,
+    // but those rows are needed at the first resumed selection anyway; only
+    // the two scalar counts come back to the driver)
     val robotsBootstrapRows: Long =
       if (!tableRobots) 0L
       else robotsUncommitted.map(t => t._1.count() + t._2.count()).getOrElse(0L)
@@ -1162,10 +1191,15 @@ object CrawlDriver {
         // only: failed attempts are never traced, and per-wave seq stays
         // dense 1..n over successes in frontier order — identical to the
         // oracle's success counter. Spans/links never ride this shuffle.
+        // above-2^20 numbering stages checkpoint internally; collect them
+        // for the two-generation release (they back the trace append and
+        // the discovery chain until this wave's commit is awaited)
+        var waveSeqCkpts: List[DataFrame] = Nil
         val wTrace = withGlobalSeq(
           fetched.select($"canonical_url", $"host", $"priority", $"discovery_time"),
           Seq("priority", "discovery_time", "canonical_url"), "__seq0",
-          sizeHint = pendingCount)
+          sizeHint = pendingCount, onCheckpoint = ck => waveSeqCkpts ::= ck,
+          windowMax = eng.seqWindowMax)
           .select(lit(wave).as("wave"), ($"__seq0" + 1L).as("seq"), $"host", $"canonical_url")
           .as[TraceRow]
 
@@ -1352,7 +1386,8 @@ object CrawlDriver {
         // (source-page frontier keys, link_idx)
         val numbered = withGlobalSeq(newUrls,
           Seq("src_pri", "src_dt", "src_url", "link_idx"), "__rank",
-          sizeHint = candTotal)
+          sizeHint = candTotal, onCheckpoint = ck => waveSeqCkpts ::= ck,
+          windowMax = eng.seqWindowMax)
           .withColumn("discovery_time", $"__rank" + lit(nextSeq))
           .withColumn("priority", $"depth")
           .drop("__rank", "src_pri", "src_dt", "src_url", "link_idx")
@@ -1519,6 +1554,7 @@ object CrawlDriver {
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots)
         ckptPrev = ckptPrev ++ ckptCur
         ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
+          waveSeqCkpts ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
         bootstrapRes = Nil
         if (cachedSeen) {

@@ -84,19 +84,44 @@ object IvfIndex {
         val partials: Array[(Int, Array[Double])] =
           if (numParts <= preMergeAbove) partialsDs.collect()
           else {
-            // distributed pre-merge: ascending-pid reduce per pid/G group
-            // (a group is ≤G tiny buffers — sorting them in memory is
-            // trivial), then only the group sums reach the driver
+            // distributed pre-merge: ascending-pid reduce per pid/G group,
+            // then only the group sums reach the driver. Secondary sort
+            // (repartition by group, sort by (group, pid) within the
+            // reduce partition) delivers each group's buffers contiguous
+            // and pid-ascending, so the fold STREAMS — one incoming buffer
+            // + one accumulator resident, never the whole group (G buffers
+            // ≈ G × nlist × (Dim+1) × 8 B would OOM a task at the scale
+            // this level exists for). Summation order is identical to the
+            // materialize-and-sort spelling: bit-deterministic.
             val g = math.max(1, groupWidth)
             val bufLen = cents.length * width
-            partialsDs.groupByKey(_._1 / g)
-              .mapGroups { (grp, it) =>
-                val acc = new Array[Double](bufLen)
-                it.toArray.sortBy(_._1).foreach { case (_, b) =>
-                  var i = 0
-                  while (i < acc.length) { acc(i) += b(i); i += 1 }
+            val sc = spark.sparkContext
+            val nGroups = numParts / g + 1
+            val hp = new org.apache.spark.HashPartitioner(
+              math.max(1, math.min(nGroups, sc.defaultParallelism)))
+            val byGroup = new org.apache.spark.Partitioner {
+              def numPartitions: Int = hp.numPartitions
+              def getPartition(key: Any): Int =
+                hp.getPartition(key.asInstanceOf[(Int, Int)]._1)
+            }
+            partialsDs.rdd
+              .map { case (pid, b) => ((pid / g, pid), b) }
+              .repartitionAndSortWithinPartitions(byGroup)
+              .mapPartitions { it =>
+                val base = it.buffered
+                new Iterator[(Int, Array[Double])] {
+                  def hasNext: Boolean = base.hasNext
+                  def next(): (Int, Array[Double]) = {
+                    val grp = base.head._1._1
+                    val acc = new Array[Double](bufLen)
+                    while (base.hasNext && base.head._1._1 == grp) {
+                      val b = base.next()._2
+                      var i = 0
+                      while (i < acc.length) { acc(i) += b(i); i += 1 }
+                    }
+                    (grp, acc)
+                  }
                 }
-                (grp, acc)
               }.collect()
           }
         // ascending-key merge: deterministic rounding regardless of task

@@ -67,6 +67,13 @@ object EnduranceProbe {
       "(lazy+mor+store+table)")
     probe("cached-mode", CrawlDriver.EngineConfig(rerootSeenEvery = 8),
       "(default broadcast/cow/cached, re-root every 8)")
+    // forces every wave's trace/discovery numbering onto the two-phase
+    // range-partition path (normally >2^20 rows), so its internal ranged
+    // checkpoints enter the release cycle — a leak there grows the curve
+    probe("scale-mode-2phase", CrawlDriver.EngineConfig(
+      filterDistribution = "lazy", pendingStorage = "mor",
+      seenStorage = "store", robotsStorage = "table", seqWindowMax = 0),
+      "(lazy+mor+store+table, forced two-phase numbering)")
     spark.stop()
   }
 }

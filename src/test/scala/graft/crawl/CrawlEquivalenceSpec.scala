@@ -50,19 +50,7 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("crawl").toString
 
-  private def assertEqualResults(oracle: CrawlResult, engine: CrawlResult): Unit = {
-    assert(engine.trace === oracle.trace, "crawl ordering (trace) differs")
-    assert(engine.seen === oracle.seen, "URL-seen set differs")
-    assert(engine.docs.map(_.doc_id) === oracle.docs.map(_.doc_id), "doc set/order differs")
-    engine.docs.zip(oracle.docs).foreach { case (e, o) =>
-      assert(e.spans.size === o.spans.size, s"span count differs for ${e.doc_id}")
-      e.spans.zip(o.spans).zipWithIndex.foreach { case ((es, os), i) =>
-        assert((es.kind, es.text, es.media_ref, es.offset) ===
-          (os.kind, os.text, os.media_ref, os.offset),
-          s"span $i of ${e.doc_id} differs")
-      }
-    }
-  }
+  import CrawlTestUtil.assertEqualResults
 
   private def runBoth(cfg: CrawlConfig,
                       eng: CrawlDriver.EngineConfig = CrawlDriver.EngineConfig())
@@ -611,6 +599,33 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
       rerootSeenEvery = 2, compactPendingEvery = 1000))
     assert(h.wavesRun >= 20, s"fixture too small: ${h.wavesRun} waves")
     assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
+  test("two-phase numbering FORCED per wave (seqWindowMax=0, the >2^20-row " +
+    "scale path): trace + discovery ranks bit-green, and the internal " +
+    "ranged checkpoints release cleanly across MOR re-root waves") {
+    // Every wave's trace numbering AND discovery numbering take the
+    // range-partition path (normally only above 2^20 rows), exercising the
+    // onCheckpoint registration + two-generation release: a premature free
+    // would surface as a missing-checkpoint-block job failure, a wrong
+    // rank as an EQ mismatch. Run both the default engine and the
+    // nastiest release interplay (MOR delta-only waves + table robots
+    // acquisition + frequent re-roots — the combo where newPending stays
+    // a lazy checkpoint recomputing through the wave's plans).
+    val web = SyntheticWeb.WebConfig(hosts = 4, pagesPerHost = 30)
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(8, web), budgetPerHost = 1,
+      maxWaves = 1000, web = web, robots = Nil, fetchRobotsTxt = true)
+    val (o, _) = new RefCrawler(cfg).run()
+    for (eng <- Seq(
+        CrawlDriver.EngineConfig(seqWindowMax = 0),
+        CrawlDriver.EngineConfig(seqWindowMax = 0, pendingStorage = "mor",
+          robotsStorage = "table", rerootSeenEvery = 2,
+          compactPendingEvery = 1000))) {
+      val root = tmp()
+      val h = CrawlDriver.run(spark, cfg, root, eng)
+      assert(h.wavesRun >= 10, s"fixture too small: ${h.wavesRun} waves")
+      assertEqualResults(o, CrawlDriver.result(spark, root))
+    }
   }
 
   test("wave metrics roll up to oracle per-wave totals") {

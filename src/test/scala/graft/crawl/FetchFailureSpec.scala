@@ -17,15 +17,7 @@ class FetchFailureSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("crawlfail").toString
 
-  private def assertEqualResults(oracle: CrawlResult, engine: CrawlResult): Unit = {
-    assert(engine.trace === oracle.trace, "crawl ordering (trace) differs")
-    assert(engine.seen === oracle.seen, "URL-seen set differs")
-    assert(engine.docs.map(_.doc_id) === oracle.docs.map(_.doc_id), "doc set/order differs")
-    engine.docs.zip(oracle.docs).foreach { case (e, o) =>
-      assert(e.spans === o.spans, s"spans differ for ${e.doc_id}")
-    }
-    assert(engine.errors === oracle.errors, "errors table differs")
-  }
+  import CrawlTestUtil.assertEqualResults
 
   // transient 25% per (url, attempt) re-rolls on retry; permanent 8% of
   // URLs fail every attempt — both hash-derived, identical everywhere

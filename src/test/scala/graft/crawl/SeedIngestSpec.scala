@@ -19,15 +19,7 @@ class SeedIngestSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("seedingest").toString
 
-  private def assertEqualResults(oracle: CrawlResult, engine: CrawlResult): Unit = {
-    assert(engine.trace === oracle.trace, "crawl ordering (trace) differs")
-    assert(engine.seen === oracle.seen, "URL-seen set differs")
-    assert(engine.docs.map(_.doc_id) === oracle.docs.map(_.doc_id), "doc set/order differs")
-    engine.docs.zip(oracle.docs).foreach { case (e, o) =>
-      assert(e.spans === o.spans, s"spans differ for ${e.doc_id}")
-    }
-    assert(engine.errors === oracle.errors, "errors table differs")
-  }
+  import CrawlTestUtil.assertEqualResults
 
   // seed list with CANONICAL-FORM duplicates (seedUrls cycles 5 spellings of
   // the same page set) and enough hosts that the deny-all fixture host and
