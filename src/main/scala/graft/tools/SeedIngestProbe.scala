@@ -48,11 +48,15 @@ object SeedIngestProbe {
         .toDF("url", "seed_seq")
     }
 
-    // order-independent content digest — distributed, nothing collected
-    def contentHash(df: org.apache.spark.sql.DataFrame): Long = {
+    // order-independent content digest — distributed, nothing collected.
+    // Per-row hashes sum as decimal(38,0): a raw long sum overflows (ANSI
+    // error) almost surely past ~10^6 uniform hashes
+    def contentHash(df: org.apache.spark.sql.DataFrame): String = {
       import org.apache.spark.sql.functions._
-      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
-        .agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
+      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)").as("h"))
+        .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0).toPlainString
     }
 
     // warm-up (JIT + session init)
@@ -61,7 +65,7 @@ object SeedIngestProbe {
       seedsDf(50000), engFull)
 
     def report(label: String, n: Long, secs: Double,
-               h: CrawlDriver.RunHandle): (Long, Long, Long) = {
+               h: CrawlDriver.RunHandle): (String, String, Long) = {
       val pend = CrawlDriver.readPending(spark, h.store)
       val stats = (contentHash(pend), contentHash(h.store.read("seen")),
         h.store.read("seen").count())
@@ -80,18 +84,21 @@ object SeedIngestProbe {
     if (compareLocalN > 0) {
       // same size through BOTH paths: the driver-side list (seeds collected
       // once here, the thing the distributed path avoids) and the seed
-      // table — outputs must be identical
+      // table — outputs must be identical. Distributed leg runs FIRST: the
+      // local leg's 10^6-string driver collection + single-threaded
+      // local-relation evaluation leaves GC/writeback contention that
+      // would distort a timing taken right after it (measured 3x)
+      val rootC = java.nio.file.Files.createTempDirectory("sip-distc").toString
+      val t2 = System.nanoTime()
+      val hC = CrawlDriver.runWithSeedTable(spark, cfgOf(Nil), rootC,
+        seedsDf(compareLocalN), engFull)
+      val b = report("distributed-cmp", compareLocalN, (System.nanoTime() - t2) / 1e9, hC)
       val localSeeds = (0L until compareLocalN).map(SyntheticWeb.seedUrl(_, web))
       val rootL = java.nio.file.Files.createTempDirectory("sip-local").toString
       val t1 = System.nanoTime()
       val hL = CrawlDriver.run(spark, cfgOf(localSeeds), rootL,
         engFull.copy(seedIngestLocalMax = Long.MaxValue))
       val a = report("driver-local", compareLocalN, (System.nanoTime() - t1) / 1e9, hL)
-      val rootC = java.nio.file.Files.createTempDirectory("sip-distc").toString
-      val t2 = System.nanoTime()
-      val hC = CrawlDriver.runWithSeedTable(spark, cfgOf(Nil), rootC,
-        seedsDf(compareLocalN), engFull)
-      val b = report("distributed-cmp", compareLocalN, (System.nanoTime() - t2) / 1e9, hC)
       require(a == b, s"ingest paths diverge at n=$compareLocalN: $a vs $b")
       println("[seed-ingest] outputs identical across ingest paths " +
         "(pending + seen content hashes, order-independent)")

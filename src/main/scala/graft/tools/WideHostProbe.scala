@@ -57,14 +57,17 @@ object WideHostProbe {
 
     // order-independent CONTENT digest of a table (sum of per-row hashes
     // over every column) — distributed, nothing collected; distinct traces
-    // or seen-sets with equal counts cannot pass it
-    def contentHash(df: org.apache.spark.sql.DataFrame): Long = {
+    // or seen-sets with equal counts cannot pass it. decimal(38,0) sum: a
+    // raw long sum overflows (ANSI error) almost surely past ~10^6 rows
+    def contentHash(df: org.apache.spark.sql.DataFrame): String = {
       import org.apache.spark.sql.functions._
-      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
-        .agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
+      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)").as("h"))
+        .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0).toPlainString
     }
 
-    def timed(label: String, eng: CrawlDriver.EngineConfig): (Long, Long, Long, Long) = {
+    def timed(label: String, eng: CrawlDriver.EngineConfig): (Long, Long, String, String) = {
       val root = java.nio.file.Files.createTempDirectory(s"whp-$label").toString
       val t0 = System.nanoTime()
       val h = CrawlDriver.runWithSeedTable(spark, cfg, root, seedsDf, eng)
