@@ -60,17 +60,18 @@ case class Manifest(
     summary: Map[String, String],
     tables: Map[String, TableState])
 
-/** Thrown when CURRENT moved past a commit's parent snapshot before it
-  * could publish (Iceberg's CommitFailedException analog): the commit's
-  * base state is stale — re-read and re-apply. Detection is
-  * check-before-write + check-before-swap; a true atomic CAS needs the
-  * catalog a real deployment provides (documented substitution, SURVEY
-  * §7.3) — the wave loop itself is strictly one-committer-at-a-time.
-  * Data dirs are COMMIT-UNIQUE (uuid-tagged), so even commits that
-  * interleave mid-write can never clobber each other's data: whichever
-  * publishes last has a manifest pointing only at its own dirs, and the
-  * loser's dirs are unreferenced orphans reclaimed by
-  * [[SnapshotStore.expireSnapshots]].
+/** Thrown when another commit won this commit's snapshot version (Iceberg's
+  * CommitFailedException analog): the commit's base state is stale —
+  * re-read and re-apply. Detection is a true per-version CAS: the manifest
+  * file is the claim token, written CREATE_NEW in [[SnapshotStore.Commit
+  * publish]], so a same-parent racer loses atomically at the claim before
+  * any CURRENT mutation (the early parent checks only short-circuit
+  * obviously stale commits cheaply). Data dirs are COMMIT-UNIQUE
+  * (uuid-tagged), so even commits that interleave mid-write can never
+  * clobber each other's data: the loser's dirs are unreferenced orphans
+  * reclaimed by [[SnapshotStore.expireSnapshots]]. A claimer that crashes
+  * before its CURRENT swap leaves an orphan claim blocking its version —
+  * recovered by [[SnapshotStore.recoverOrphanClaims]].
   */
 class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
@@ -218,6 +219,49 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       if (Files.deleteIfExists(manifestPath(v))) removed += s"manifests/v$v.json"
     }
     removed.result()
+  }
+
+  /** Recover from a committer that CRASHED between its manifest CAS claim
+    * and the CURRENT swap ([[Commit.publish]]'s documented window): the
+    * orphaned above-CURRENT manifest blocks that version's claim forever.
+    * Deletes every manifest whose version is ABOVE CURRENT and whose file
+    * is at least `olderThanMs` old. The TTL is the caller's liveness
+    * lease — a live slow claimer is indistinguishable from a dead one by
+    * inspection, so the caller asserts no healthy committer spends that
+    * long between claim and swap (in [[Commit.publish]] the swap follows
+    * the claim by milliseconds; minutes is conservative). This is the same
+    * recovery a real Iceberg catalog gets from its pointer-CAS + retry
+    * loop's lock timeout. The crashed commit's data dirs need no handling
+    * here: they become reclaimable by [[expireSnapshots]] as soon as a
+    * later commit publishes that version. Returns the versions whose
+    * claims were removed, ascending.
+    */
+  def recoverOrphanClaims(olderThanMs: Long): Seq[Long] = {
+    val mdir = rootPath.resolve("manifests")
+    if (!Files.isDirectory(mdir)) return Nil
+    val cur = currentVersion.getOrElse(-1L)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(mdir)
+    val orphans =
+      try listing.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        val core =
+          if (n.startsWith("v") && n.endsWith(".json"))
+            n.substring(1, n.length - 5)
+          else ""
+        if (core.nonEmpty && core.forall(_.isDigit)) Some((core.toLong, p))
+        else None
+      }.filter { case (v, p) =>
+        v > cur && Files.getLastModifiedTime(p).toMillis <= cutoff
+      }.toList
+      finally listing.close()
+    orphans.sortBy(_._1).flatMap { case (v, p) =>
+      // re-check at the delete: if the claimer swapped CURRENT to (or past)
+      // v in the meantime, the manifest is published state — leave it
+      if (currentVersion.getOrElse(-1L) < v && Files.deleteIfExists(p)) Some(v)
+      else None
+    }
   }
 
   /** Builder for one atomic multi-table commit. Data writes are deferred to

@@ -199,8 +199,17 @@ class SnapshotStoreSpec extends AnyFunSuite {
     intercept[ConcurrentCommitException] {
       reopened.beginCommit().append("log", Seq((2, "b")).toDF("id", "v")).commit()
     }
-    // documented recovery for a KNOWN-dead claimer: remove the orphan
-    Files.delete(Paths.get(root, "manifests/v1.json"))
+    // recovery is TTL-leased: within the lease the claim is honored (the
+    // claimer may be alive), so nothing is removed and the version stays
+    // blocked
+    assert(reopened.recoverOrphanClaims(olderThanMs = 3600_000L) === Nil)
+    intercept[ConcurrentCommitException] {
+      reopened.beginCommit().append("log", Seq((3, "c")).toDF("id", "v")).commit()
+    }
+    // past the lease the orphan claim is reclaimed — published manifests
+    // (<= CURRENT) are never touched — and the blocked version commits
+    assert(reopened.recoverOrphanClaims(olderThanMs = 0L) === Seq(1L))
+    assert(Files.exists(Paths.get(root, "manifests/v0.json")))
     val v = reopened.beginCommit().append("log", Seq((2, "b")).toDF("id", "v")).commit()
     assert(v === 1L)
     assert(reopened.read("log").count() === 2)
