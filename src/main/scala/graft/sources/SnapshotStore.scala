@@ -136,6 +136,29 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
 
   def beginCommit(): Commit = new Commit()
 
+  /** Iceberg-style optimistic-concurrency retry loop (the catalog's
+    * commit-retry around CommitFailedException): run `build` against a
+    * FRESH [[Commit]] — bound to the then-CURRENT parent — and commit;
+    * on [[ConcurrentCommitException]] re-read and re-apply, up to
+    * `maxAttempts` total attempts, then rethrow the last conflict.
+    * `build` must derive its writes from state as of the commit it is
+    * given (re-reading via [[read]] as needed): a pure append can queue
+    * the same rows every attempt, but a read-modify-write (e.g. a COW
+    * `replace` derived from the current table) must re-derive inside
+    * `build`, NOT capture a DataFrame from before the loop.
+    */
+  def commitWithRetries(maxAttempts: Int = 5)(build: Commit => Commit): Long = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var last: ConcurrentCommitException = null
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      try return build(beginCommit()).commit()
+      catch { case e: ConcurrentCommitException => last = e }
+      attempt += 1
+    }
+    throw last
+  }
+
   /** Compact an append-accumulated table: rewrite its current content as a
     * single data dir in a new snapshot version (Iceberg's rewrite-data-
     * files action). Older versions still read the original files

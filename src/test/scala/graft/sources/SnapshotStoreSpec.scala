@@ -180,6 +180,66 @@ class SnapshotStoreSpec extends AnyFunSuite {
       === Seq((0, "base"), (1, "next")))
   }
 
+  test("THREADED multi-committer race: real threads appending through the " +
+    "CAS + commitWithRetries loop — every row lands exactly once, the " +
+    "version chain is contiguous, orphan dirs GC away cleanly") {
+    import spark.implicits._
+    val store = new SnapshotStore(tmpRoot(), spark)
+    store.beginCommit().append("log", Seq((-1, "base")).toDF("id", "v")).commit()
+    val nThreads = 4
+    val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val futs = (0 until nThreads).map { t =>
+      Future {
+        (0 until perThread).foreach { k =>
+          val id = t * perThread + k
+          // append is state-independent, so re-queuing the same row per
+          // attempt is the documented correct use of the retry loop
+          store.commitWithRetries(maxAttempts = 256) {
+            _.append("log", Seq((id, s"t$t-$k")).toDF("id", "v"))
+          }
+        }
+      }
+    }
+    try Await.result(Future.sequence(futs), Duration.Inf)
+    finally pool.shutdown()
+    val total = nThreads * perThread
+    // the CAS linearized the racers: one version per commit, no gaps, each
+    // manifest's parent is its predecessor
+    assert(store.currentVersion === Some(total.toLong))
+    (1L to total).foreach(v => assert(store.manifest(v).parent === v - 1))
+    // no lost or duplicated appends
+    assert(store.read("log").as[(Int, String)].collect().map(_._1).sorted.toSeq
+      === (-1 until total).toSeq)
+    // losers' commit-unique dirs are unreferenced orphans; reclaiming them
+    // leaves the published content intact
+    store.expireSnapshots(keepLast = 1)
+    assert(store.read("log").count() === (total + 1).toLong)
+  }
+
+  test("commitWithRetries rethrows the last conflict once attempts are " +
+    "exhausted (a permanently blocked version must not loop forever)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val store = new SnapshotStore(root, spark)
+    store.beginCommit().append("log", Seq((1, "a")).toDF("id", "v")).commit()
+    // orphan claim on v1 (a crashed claimer) blocks every attempt
+    val m0 = Files.readString(Paths.get(root, "manifests/v0.json"))
+    Files.writeString(Paths.get(root, "manifests/v1.json"),
+      m0.replace("\"version\" : 0", "\"version\" : 1"))
+    var builds = 0
+    intercept[ConcurrentCommitException] {
+      store.commitWithRetries(maxAttempts = 3) { c =>
+        builds += 1
+        c.append("log", Seq((2, "b")).toDF("id", "v"))
+      }
+    }
+    assert(builds === 3, "must re-build (re-read-and-reapply) once per attempt")
+  }
+
   test("atomicity: unswapped manifest is invisible; reopened store resumes " +
     "at CURRENT; the orphaned claim blocks its version until removed (CAS " +
     "semantics — a live slow claimer is indistinguishable from a dead one)") {
