@@ -48,16 +48,7 @@ object SeedIngestProbe {
         .toDF("url", "seed_seq")
     }
 
-    // order-independent content digest — distributed, nothing collected.
-    // Per-row hashes sum as decimal(38,0): a raw long sum overflows (ANSI
-    // error) almost surely past ~10^6 uniform hashes
-    def contentHash(df: org.apache.spark.sql.DataFrame): String = {
-      import org.apache.spark.sql.functions._
-      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*)
-          .cast("decimal(38,0)").as("h"))
-        .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")))
-        .head().getDecimal(0).toPlainString
-    }
+    import ProbeUtil.contentHash
 
     // warm-up (JIT + session init)
     CrawlDriver.runWithSeedTable(spark, cfgOf(Nil),

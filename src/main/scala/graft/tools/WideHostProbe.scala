@@ -55,17 +55,7 @@ object WideHostProbe {
         robots = Nil, fetchRobotsTxt = true),
       java.nio.file.Files.createTempDirectory("whp-warm").toString, engFull)
 
-    // order-independent CONTENT digest of a table (sum of per-row hashes
-    // over every column) — distributed, nothing collected; distinct traces
-    // or seen-sets with equal counts cannot pass it. decimal(38,0) sum: a
-    // raw long sum overflows (ANSI error) almost surely past ~10^6 rows
-    def contentHash(df: org.apache.spark.sql.DataFrame): String = {
-      import org.apache.spark.sql.functions._
-      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*)
-          .cast("decimal(38,0)").as("h"))
-        .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")))
-        .head().getDecimal(0).toPlainString
-    }
+    import ProbeUtil.contentHash
 
     def timed(label: String, eng: CrawlDriver.EngineConfig): (Long, Long, String, String) = {
       val root = java.nio.file.Files.createTempDirectory(s"whp-$label").toString
