@@ -1155,8 +1155,9 @@ object CrawlDriver {
           .drop("__salt")
 
         // ---- S3 + T1: fetch + parse (typed map over the synthetic web)
-        // through the FAILURE CHANNEL: status ok|transient|permanent, with
-        // spans/outlinks only on success. Deterministic per (url,
+        // through the FAILURE CHANNEL: status ok|transient|permanent|
+        // redirect — spans only on success, links on success (outlinks) or
+        // redirect (the single Location target). Deterministic per (url,
         // attempts), so any parallelism yields the same outcomes.
         val maxAtt = cfg.maxFetchAttempts
         val outcomes = salted
@@ -1178,6 +1179,13 @@ object CrawlDriver {
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "permanent",
                     Vector.empty[Span], Vector.empty[String], pid)
+                case Redirected(raw) =>
+                  // the Location target rides as this page's single link
+                  // (dedup/robots/depth+1 downstream); no spans, no trace
+                  (e.canonical_url, e.host, e.host_hash, e.priority,
+                    e.discovery_time, e.depth, e.attempts, "redirect",
+                    Vector.empty[Span],
+                    Vector(CanonicalUrl.resolve(e.canonical_url, raw)), pid)
               }
             }
           }
@@ -1212,10 +1220,13 @@ object CrawlDriver {
         // ---- outlink candidates with (source-page frontier keys,
         // link_idx) provenance — exactly the oracle's admission order
         // (successful pages in frontier order, links in document order),
-        // without joining the trace numbering back in. (Coalesced off the
-        // fine-grained parse blocks: the dedup chain is cheap per row —
-        // 8x-cores task granularity would be pure overhead.)
-        val candidates = fetched
+        // without joining the trace numbering back in. Redirect rows bear
+        // their Location target as link 0 — the target enters discovery at
+        // the source's frontier position, same as the oracle. (Coalesced
+        // off the fine-grained parse blocks: the dedup chain is cheap per
+        // row — 8x-cores task granularity would be pure overhead.)
+        val candidates = outcomes
+          .filter($"status".isin("ok", "redirect"))
           .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
           .select($"priority".as("src_pri"), $"discovery_time".as("src_dt"),
             $"canonical_url".as("src_url"), $"depth",
@@ -1233,7 +1244,8 @@ object CrawlDriver {
         val fetchStats = outcomes.groupBy($"__pid")
           .agg(count(lit(1)).as("sel"),
             sum(when($"status" === "ok", 1L).otherwise(0L)).as("ok"),
-            sum(when($"status" === "ok", size($"links")).otherwise(0)).cast("long").as("cands"),
+            sum(when($"status".isin("ok", "redirect"), size($"links"))
+              .otherwise(0)).cast("long").as("cands"),
             sum(when($"status" === "transient" && $"attempts" + 1 < maxAtt, 1L)
               .otherwise(0L)).as("requeued"),
             sum(when($"status" === "permanent" ||
@@ -1256,7 +1268,8 @@ object CrawlDriver {
         val requeued = outcomes.filter(retryable)
           .withColumn("attempts", ($"attempts" + 1).cast("int"))
           .select(fcolsF: _*)
-        val errorRows = outcomes.filter($"status" =!= "ok" && !retryable)
+        val errorRows = outcomes
+          .filter(!$"status".isin("ok", "redirect") && !retryable)
           .select(lit(wave).as("wave"), $"canonical_url", $"host",
             when($"status" === "permanent", lit("permanent"))
               .otherwise(lit("transient_exhausted")).as("kind"),

@@ -45,7 +45,13 @@ case class WaveTotals(
   *     immediately. Errored URLs stay in seen, are never fetched again,
   *     and land in `errors`. `fetched` counts successes only (incl. the
   *     maxUrls stop rule).
-  *  8. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
+  *  8. REDIRECT SEMANTICS: a redirected fetch consumed its politeness
+  *     slot but produced no document — the source stays in seen, is never
+  *     traced/parsed/retried and is not an error; the Location target is
+  *     admitted as the page's single discovered link (resolve →
+  *     canonicalize → seen-dedup → robots, depth+1), so chains follow
+  *     across waves and loops terminate at the seen-set.
+  *  9. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
   *     (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
@@ -184,6 +190,13 @@ class RefCrawler(cfg: CrawlConfig) {
           case PermanentFetchError =>
             errors += ErrorRow(wave, e.canonical_url, e.host,
               "permanent", e.attempts + 1)
+          case Redirected(raw) =>
+            // consumed its politeness slot; never traced/parsed, not an
+            // error, terminal for the source — the target is admitted as
+            // this page's single discovered link (dedup + robots + depth+1)
+            val c = CanonicalUrl.resolve(e.canonical_url, raw)
+            val (d, dd, dn) = admit(c, e.depth + 1)
+            discovered += d; deduped += dd; denied += dn
         }
       }
       fetchedTotal += fetchedThisWave

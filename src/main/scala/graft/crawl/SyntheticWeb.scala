@@ -40,7 +40,14 @@ object SyntheticWeb {
                          * TRANSIENTLY — hash-derived from both, so retries
                          * re-roll and can succeed.
                          */
-                       transientFailPct: Int = 0)
+                       transientFailPct: Int = 0,
+                       /** percent of URLs that REDIRECT (every attempt —
+                         * a property of the URL, like permanent failure);
+                         * the target is hash-derived, in raw forms that
+                         * need resolution/canonicalization, and may itself
+                         * redirect (chains arise organically).
+                         */
+                       redirectPct: Int = 0)
 
   /** Deterministic fetch outcome with hash-derived failure injection: a
     * pure function of (url, attempt, cfg), identical in the sequential
@@ -53,7 +60,25 @@ object SyntheticWeb {
         fm(h(url + "|pfail"), 100) < cfg.permanentFailPct) PermanentFetchError
     else if (cfg.transientFailPct > 0 &&
         fm(h(url + "|tfail|" + attempt), 100) < cfg.transientFailPct) TransientFetchError
+    else if (cfg.redirectPct > 0 &&
+        fm(h(url + "|redir"), 100) < cfg.redirectPct) Redirected(redirectTarget(url, cfg))
     else { val (s, l) = fetchParse(url, cfg); Fetched(s, l) }
+
+  /** Hash-derived redirect Location for a redirecting URL: ~half same-host
+    * path moves, half cross-host, in raw forms (absolute-path reference,
+    * uppercase host + explicit :80) that exercise resolution and
+    * canonicalization exactly like outlinks. The target may itself
+    * redirect — chains and (rarely) loops arise organically and must
+    * terminate at the seen-set.
+    */
+  private def redirectTarget(url: String, cfg: WebConfig): String = {
+    val hj = h(url + "|redirtgt")
+    val hostIdx = hostIndexOf(CanonicalUrl.host(url), cfg)
+    val tgtHost = if (fm(hj, 10) < 5) hostIdx else fm(hj >>> 16, cfg.hosts)
+    val k2 = fm(hj >>> 24, cfg.pagesPerHost)
+    if (fm(hj >>> 40, 2) == 0 && tgtHost == hostIdx) s"/p/$k2"
+    else s"http://HOST$tgtHost.TEST:80/p/$k2"
+  }
 
   /** Fixed-work CPU spin (data-dependent mix chain the JIT cannot elide;
     * ~1 ns/iter). Returns a value the caller must consume.

@@ -94,6 +94,16 @@ case class Fetched(spans: IndexedSeq[Span], rawLinks: IndexedSeq[String])
   extends FetchOutcome
 case object TransientFetchError extends FetchOutcome
 case object PermanentFetchError extends FetchOutcome
+/** HTTP 3xx: the fetch consumed its politeness slot but yielded no
+  * document — only a Location target (raw, resolved against the source
+  * like any outlink). The source stays in seen, is never traced/parsed
+  * and never retried; the target re-enters the frontier as ONE discovered
+  * link of the source (canonicalize → seen-dedup → robots admission, at
+  * depth+1), so chains follow across waves and loops terminate at the
+  * seen-set — the frontier-re-entry treatment (Nutch-style), not
+  * in-fetch hop following.
+  */
+case class Redirected(rawTarget: String) extends FetchOutcome
 
 /** The fetch+parse contract: canonical URL -> ordered span array + raw
   * outlink strings in document order. The deterministic [[SyntheticFetcher]]
