@@ -1160,6 +1160,7 @@ object CrawlDriver {
         // redirect (the single Location target). Deterministic per (url,
         // attempts), so any parallelism yields the same outcomes.
         val maxAtt = cfg.maxFetchAttempts
+        val scope = cfg.scope
         val outcomes = salted
           .as[FrontierEntry]
           .mapPartitions { it =>
@@ -1167,30 +1168,39 @@ object CrawlDriver {
               val pid = org.apache.spark.TaskContext.getPartitionId()
               fetcher.fetchAttempt(e.canonical_url, e.attempts) match {
                 case Fetched(spans, raw) =>
-                  // resolve + canonicalize outlinks in document order
-                  val links = raw.map(r => CanonicalUrl.resolve(e.canonical_url, r))
+                  // resolve outlinks in document order, then SCOPE-filter
+                  // (before the depth cap and seen-set, like the oracle):
+                  // `links` carries only in-scope links; the filtered
+                  // count rides as a column into the fetchStats rollup
+                  val resolved = raw.map(r => CanonicalUrl.resolve(e.canonical_url, r))
+                  val links = resolved.filter(scope.allows)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
-                    e.discovery_time, e.depth, e.attempts, "ok", spans, links, pid)
+                    e.discovery_time, e.depth, e.attempts, "ok", spans, links,
+                    resolved.size - links.size, pid)
                 case TransientFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "transient",
-                    Vector.empty[Span], Vector.empty[String], pid)
+                    Vector.empty[Span], Vector.empty[String], 0, pid)
                 case PermanentFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "permanent",
-                    Vector.empty[Span], Vector.empty[String], pid)
+                    Vector.empty[Span], Vector.empty[String], 0, pid)
                 case Redirected(raw) =>
                   // the Location target rides as this page's single link
-                  // (dedup/robots/depth+1 downstream); no spans, no trace
+                  // (scope/dedup/robots/depth+1 downstream, exactly like
+                  // an outlink); no spans, no trace
+                  val c = CanonicalUrl.resolve(e.canonical_url, raw)
+                  val (links, nf) =
+                    if (scope.allows(c)) (Vector(c), 0) else (Vector.empty[String], 1)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "redirect",
-                    Vector.empty[Span],
-                    Vector(CanonicalUrl.resolve(e.canonical_url, raw)), pid)
+                    Vector.empty[Span], links, nf, pid)
               }
             }
           }
           .toDF("canonical_url", "host", "host_hash", "priority",
-            "discovery_time", "depth", "attempts", "status", "spans", "links", "__pid")
+            "discovery_time", "depth", "attempts", "status", "spans", "links",
+            "__nfilt", "__pid")
           .cache()
         val fetched = outcomes.filter($"status" === "ok")
 
@@ -1222,11 +1232,17 @@ object CrawlDriver {
         // (successful pages in frontier order, links in document order),
         // without joining the trace numbering back in. Redirect rows bear
         // their Location target as link 0 — the target enters discovery at
-        // the source's frontier position, same as the oracle. (Coalesced
-        // off the fine-grained parse blocks: the dedup chain is cheap per
-        // row — 8x-cores task granularity would be pure overhead.)
+        // the source's frontier position, same as the oracle. Depth cap:
+        // a source at maxDepth contributes NO candidates (all its links
+        // would land at depth+1 > maxDepth) — a coarse per-source filter
+        // BEFORE the explode and dedup chain, so capped URLs never enter
+        // the seen-set and a later shallower path can still admit them.
+        // (Coalesced off the fine-grained parse blocks: the dedup chain is
+        // cheap per row — 8x-cores task granularity would be pure overhead.)
+        val maxDepthL = cfg.maxDepth.toLong
         val candidates = outcomes
-          .filter($"status".isin("ok", "redirect"))
+          .filter($"status".isin("ok", "redirect") &&
+            $"depth".cast("long") + 1L <= maxDepthL)
           .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
           .select($"priority".as("src_pri"), $"discovery_time".as("src_dt"),
             $"canonical_url".as("src_url"), $"depth",
@@ -1250,15 +1266,26 @@ object CrawlDriver {
               .otherwise(0L)).as("requeued"),
             sum(when($"status" === "permanent" ||
                 ($"status" === "transient" && $"attempts" + 1 >= maxAtt), 1L)
-              .otherwise(0L)).as("errored"))
+              .otherwise(0L)).as("errored"),
+            sum(when($"status" === "redirect", 1L).otherwise(0L))
+              .as("redirected"),
+            // all links of a source land at the SAME depth (src.depth+1),
+            // so the depth-capped candidate count is a per-source-row sum
+            sum(when($"status".isin("ok", "redirect") &&
+                $"depth".cast("long") + 1L > maxDepthL, size($"links"))
+              .otherwise(0)).cast("long").as("capped"),
+            sum($"__nfilt").cast("long").as("filtered"))
           .collect()
           .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getLong(4), r.getLong(5)))
+            r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
         val selectedTotal = fetchStats.map(_._2).sum
         val fetchedThisWave = fetchStats.map(_._3).sum
         val candTotal = fetchStats.map(_._4).sum
         val requeuedTotal = fetchStats.map(_._5).sum
         val erroredTotal = fetchStats.map(_._6).sum
+        val redirectedTotal = fetchStats.map(_._7).sum
+        val cappedTotal = fetchStats.map(_._8).sum
+        val filteredTotal = fetchStats.map(_._9).sum
 
         // transient failures with attempts left re-enter the frontier with
         // the SAME ordering keys and attempts+1 (they compete under the
@@ -1455,11 +1482,11 @@ object CrawlDriver {
         // table or requeued, and budget_deferred = selection shortfall)
         val deferredCount = pendingCount - selectedTotal
         val metricsRows = {
-          val base = fetchStats.sortBy(_._1).map { case (pid, _, ok, _, _, _) =>
+          val base = fetchStats.sortBy(_._1).map { case (pid, _, ok, _, _, _, _, _, _) =>
             WaveMetrics(wave, pid, ok, ok, 0L, 0L, 0L, 0L)
           }.toSeq
           val tail = WaveMetrics(wave, -1, 0L, 0L, discovered,
-            candTotal - discovered /* deduped within wave or vs seen */,
+            candTotal - cappedTotal - discovered /* deduped in-wave or vs seen */,
             denied, deferredCount)
           base :+ tail
         }
@@ -1528,7 +1555,10 @@ object CrawlDriver {
             "wave_discovered" -> discovered.toString,
             "wave_denied" -> denied.toString,
             "wave_requeued" -> requeuedTotal.toString,
-            "wave_errored" -> erroredTotal.toString)
+            "wave_errored" -> erroredTotal.toString,
+            "wave_redirected" -> redirectedTotal.toString,
+            "wave_depth_capped" -> cappedTotal.toString,
+            "wave_scope_filtered" -> filteredTotal.toString)
         val doDelta = useFilter && discovered > 0
         val filterNow = bloomB
         val genNow = filterGen

@@ -12,7 +12,10 @@ case class WaveTotals(
     discovered: Long,
     deduped: Long,
     robots_denied: Long,
-    budget_deferred: Long)
+    budget_deferred: Long,
+    redirected: Long = 0L,
+    depth_capped: Long = 0L,
+    scope_filtered: Long = 0L)
 
 /** Sequential, Spark-free oracle crawler — the BINDING semantics
   * (SURVEY.md §1.4; the reference mount is empty, so this deterministic
@@ -51,7 +54,13 @@ case class WaveTotals(
   *     admitted as the page's single discovered link (resolve →
   *     canonicalize → seen-dedup → robots, depth+1), so chains follow
   *     across waves and loops terminate at the seen-set.
-  *  9. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
+  *  9. SCOPE + DEPTH guards at discovery, in that order: each resolved
+  *     link must pass [[UrlScope]] (out-of-scope links never enter the
+  *     crawl at all), then the [[CrawlConfig.maxDepth]] cap (capped links
+  *     are dropped BEFORE the seen check — counted capped even if seen —
+  *     and never occupy seen, so a later shallower path can admit them).
+  *     Seeds bypass scope and are depth 0.
+  * 10. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
   *     (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
@@ -135,9 +144,15 @@ class RefCrawler(cfg: CrawlConfig) {
     var nextSeq = 0L
     var fetchedTotal = 0L
 
-    // admit: returns (discoveredDelta, dedupedDelta, deniedDelta)
+    // admit: returns (discoveredDelta, dedupedDelta, deniedDelta).
+    // Depth cap FIRST (before the seen check, matching the engine's
+    // pre-dedup candidate filter): a capped candidate counts as capped
+    // even if already seen, and never enters the seen-set — a later
+    // shallower discovery can still admit it.
+    var cappedInWave = 0L
     def admit(canonical: String, depth: Int): (Long, Long, Long) = {
-      if (seen.contains(canonical)) (0L, 1L, 0L)
+      if (depth > cur.maxDepth) { cappedInWave += 1; (0L, 0L, 0L) }
+      else if (seen.contains(canonical)) (0L, 1L, 0L)
       else {
         seen += canonical
         val seq = nextSeq
@@ -171,6 +186,9 @@ class RefCrawler(cfg: CrawlConfig) {
       var deduped = 0L
       var denied = 0L
       var fetchedThisWave = 0L
+      var redirectedThisWave = 0L
+      var filteredThisWave = 0L
+      cappedInWave = 0L
       selected.foreach { e =>
         cur.fetcher.fetchAttempt(e.canonical_url, e.attempts) match {
           case Fetched(spans, rawLinks) =>
@@ -179,8 +197,13 @@ class RefCrawler(cfg: CrawlConfig) {
             docs += Doc(e.canonical_url, spans)
             rawLinks.foreach { raw =>
               val c = CanonicalUrl.resolve(e.canonical_url, raw)
-              val (d, dd, dn) = admit(c, e.depth + 1)
-              discovered += d; deduped += dd; denied += dn
+              // scope filter FIRST (before the depth cap and seen check):
+              // an out-of-scope link never enters the crawl at all
+              if (!cur.scope.allows(c)) filteredThisWave += 1
+              else {
+                val (d, dd, dn) = admit(c, e.depth + 1)
+                discovered += d; deduped += dd; denied += dn
+              }
             }
           case TransientFetchError =>
             if (e.attempts + 1 < cur.maxFetchAttempts)
@@ -193,14 +216,20 @@ class RefCrawler(cfg: CrawlConfig) {
           case Redirected(raw) =>
             // consumed its politeness slot; never traced/parsed, not an
             // error, terminal for the source — the target is admitted as
-            // this page's single discovered link (dedup + robots + depth+1)
+            // this page's single discovered link (scope + dedup + robots +
+            // depth+1, exactly like an outlink)
             val c = CanonicalUrl.resolve(e.canonical_url, raw)
-            val (d, dd, dn) = admit(c, e.depth + 1)
-            discovered += d; deduped += dd; denied += dn
+            if (!cur.scope.allows(c)) filteredThisWave += 1
+            else {
+              val (d, dd, dn) = admit(c, e.depth + 1)
+              discovered += d; deduped += dd; denied += dn
+            }
+            redirectedThisWave += 1
         }
       }
       fetchedTotal += fetchedThisWave
-      totals += WaveTotals(wave, fetchedThisWave, discovered, deduped, denied, deferred.toLong)
+      totals += WaveTotals(wave, fetchedThisWave, discovered, deduped, denied,
+        deferred.toLong, redirectedThisWave, cappedInWave, filteredThisWave)
       wave += 1
       if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
         cur = cfg2

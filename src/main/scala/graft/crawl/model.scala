@@ -155,6 +155,37 @@ case class SyntheticFetcher(web: SyntheticWeb.WebConfig) extends PageFetcher {
 case class ErrorRow(wave: Int, canonical_url: String, host: String,
                     kind: String, attempts: Int)
 
+/** URL scope filter (Nutch urlfilter / Heritrix scope): a DISCOVERED link
+  * must survive every rule to enter the crawl — checked on the resolved
+  * absolute URL at discovery, BEFORE the depth cap and the seen-set, so an
+  * out-of-scope URL never occupies seen. Seeds are operator-trusted and
+  * bypass scope. Order: deny-suffix (case-insensitive, e.g. ".jpg"),
+  * deny-pattern (java regex, unanchored find), then allow-patterns (if any
+  * are set, the URL must match at least one). A pure, deterministic
+  * function — identical in the sequential oracle and in executor tasks.
+  */
+case class UrlScope(
+    denySuffixes: Seq[String] = Nil,
+    denyPatterns: Seq[String] = Nil,
+    allowPatterns: Seq[String] = Nil) {
+  @transient private lazy val denyRe =
+    denyPatterns.map(java.util.regex.Pattern.compile)
+  @transient private lazy val allowRe =
+    allowPatterns.map(java.util.regex.Pattern.compile)
+  @transient private lazy val denySfx = denySuffixes.map(_.toLowerCase)
+  def isUnbounded: Boolean =
+    denySuffixes.isEmpty && denyPatterns.isEmpty && allowPatterns.isEmpty
+  def allows(url: String): Boolean = {
+    if (isUnbounded) true
+    else {
+      val lower = url.toLowerCase
+      !denySfx.exists(lower.endsWith) &&
+        !denyRe.exists(_.matcher(url).find()) &&
+        (allowRe.isEmpty || allowRe.exists(_.matcher(url).find()))
+    }
+  }
+}
+
 /** Crawl configuration shared by the oracle and the Spark engine.
   * hostBudgets: per-host politeness overrides (e.g. mapped from robots
   * Crawl-delay via [[graft.functions.RobotsTxt]]); hosts not listed use
@@ -206,7 +237,21 @@ case class CrawlConfig(
       * only changes table-mode behavior. Oracle model:
       * [[RefCrawler.runPhased]].
       */
-    refetchRobotsOnResume: Boolean = false) {
+    refetchRobotsOnResume: Boolean = false,
+    /** Maximum discovery depth (BFS level): a candidate whose depth would
+      * exceed this is DROPPED at discovery — it does NOT enter the
+      * seen-set, so a later discovery through a shallower path can still
+      * admit it. Seeds are depth 0. Bounds crawl frontier growth and
+      * redirect chains (a hop costs depth+1 like any link) — the standard
+      * crawler depth guard against link farms and redirect bombs.
+      */
+    maxDepth: Int = Int.MaxValue,
+    /** Scope filter applied to every DISCOVERED link (resolved absolute
+      * form) before the depth cap and the seen-set; filtered URLs never
+      * enter the crawl and can never be re-admitted. Seeds bypass scope.
+      */
+    scope: UrlScope = UrlScope()) {
+  require(maxDepth >= 0, "maxDepth must be >= 0 (seeds are depth 0)")
   /** The fetch implementation; engine and oracle share it. */
   def fetcher: PageFetcher = fetcherOverride.getOrElse(SyntheticFetcher(web))
   /** Static budget (fixture mode); fetch mode layers fetched Crawl-delay

@@ -99,6 +99,19 @@ class RedirectSpec extends AnyFunSuite {
               assert(rows.map(_.robots_denied).sum === t.robots_denied,
                 s"wave ${t.wave} denied")
             }
+            // per-wave redirect counts ride the commit summaries; they must
+            // roll up to the oracle's (and be nonzero somewhere — fixture)
+            val byWave = (1L to store.currentVersion.get)
+              .map(store.manifest).flatMap { man =>
+                man.summary.get("wave_redirected").map { r =>
+                  man.summary("wave").toInt -> r.toLong
+                }
+              }.toMap
+            oracleTotals.foreach { t =>
+              assert(byWave.getOrElse(t.wave, 0L) === t.redirected,
+                s"wave ${t.wave} redirected")
+            }
+            assert(oracleTotals.map(_.redirected).sum > 0)
           }
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
