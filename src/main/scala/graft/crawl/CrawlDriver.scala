@@ -555,6 +555,7 @@ object CrawlDriver {
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
       .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
       .declare("errors", org.apache.spark.sql.Encoders.product[ErrorRow].schema)
+      .declare("redirects", org.apache.spark.sql.Encoders.product[RedirectRow].schema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "seeds" -> seedsCanonical.size.toString,
@@ -733,6 +734,7 @@ object CrawlDriver {
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
       .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
       .declare("errors", org.apache.spark.sql.Encoders.product[ErrorRow].schema)
+      .declare("redirects", org.apache.spark.sql.Encoders.product[RedirectRow].schema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "seeds" -> nSeeds.toString,
@@ -1176,31 +1178,35 @@ object CrawlDriver {
                   val links = resolved.filter(scope.allows)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "ok", spans, links,
-                    resolved.size - links.size, pid)
+                    resolved.size - links.size, null.asInstanceOf[String], pid)
                 case TransientFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "transient",
-                    Vector.empty[Span], Vector.empty[String], 0, pid)
+                    Vector.empty[Span], Vector.empty[String], 0,
+                    null.asInstanceOf[String], pid)
                 case PermanentFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "permanent",
-                    Vector.empty[Span], Vector.empty[String], 0, pid)
+                    Vector.empty[Span], Vector.empty[String], 0,
+                    null.asInstanceOf[String], pid)
                 case Redirected(raw) =>
                   // the Location target rides as this page's single link
                   // (scope/dedup/robots/depth+1 downstream, exactly like
-                  // an outlink); no spans, no trace
+                  // an outlink); no spans, no trace. The resolved target
+                  // also rides separately for the redirects alias table —
+                  // recorded even when scope-filtered out of `links`.
                   val c = CanonicalUrl.resolve(e.canonical_url, raw)
                   val (links, nf) =
                     if (scope.allows(c)) (Vector(c), 0) else (Vector.empty[String], 1)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "redirect",
-                    Vector.empty[Span], links, nf, pid)
+                    Vector.empty[Span], links, nf, c, pid)
               }
             }
           }
           .toDF("canonical_url", "host", "host_hash", "priority",
             "discovery_time", "depth", "attempts", "status", "spans", "links",
-            "__nfilt", "__pid")
+            "__nfilt", "__rtarget", "__pid")
           .cache()
         val fetched = outcomes.filter($"status" === "ok")
 
@@ -1295,6 +1301,12 @@ object CrawlDriver {
         val requeued = outcomes.filter(retryable)
           .withColumn("attempts", ($"attempts" + 1).cast("int"))
           .select(fcolsF: _*)
+        // the URL-alias edge list: every followed redirect, target in
+        // resolved absolute form (recorded regardless of the target's
+        // admission outcome — see [[RedirectRow]])
+        val redirectRows = outcomes.filter($"status" === "redirect")
+          .select(lit(wave).as("wave"), $"canonical_url", $"host",
+            $"__rtarget".as("target_url"))
         val errorRows = outcomes
           .filter(!$"status".isin("ok", "redirect") && !retryable)
           .select(lit(wave).as("wave"), $"canonical_url", $"host",
@@ -1542,6 +1554,7 @@ object CrawlDriver {
           robotsDeltaInFlight = true
         }
         if (erroredTotal > 0) commitBuilder.append("errors", errorRows)
+        if (redirectedTotal > 0) commitBuilder.append("redirects", redirectRows)
         commitBuilder
           .append("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
           .append("trace", wTrace.toDF())
@@ -1720,8 +1733,14 @@ object CrawlDriver {
         store.read("errors").as[ErrorRow].collect()
           .sortBy(e => (e.wave, e.canonical_url)).toSeq
       else Nil
+    val redirects =
+      if (store.currentManifest.exists(_.tables.contains("redirects")))
+        store.read("redirects").as[RedirectRow].collect()
+          .sortBy(r => (r.wave, r.canonical_url)).toSeq
+      else Nil
     val traceOrder = trace.map(_.canonical_url).zipWithIndex.toMap
     CrawlResult(trace, seen,
-      docs.sortBy(d => traceOrder.getOrElse(d.doc_id, Int.MaxValue)), errors)
+      docs.sortBy(d => traceOrder.getOrElse(d.doc_id, Int.MaxValue)), errors,
+      redirects)
   }
 }

@@ -140,6 +140,7 @@ class RefCrawler(cfg: CrawlConfig) {
     val trace = mutable.ArrayBuffer.empty[TraceRow]
     val docs = mutable.ArrayBuffer.empty[Doc]
     val errors = mutable.ArrayBuffer.empty[ErrorRow]
+    val redirects = mutable.ArrayBuffer.empty[RedirectRow]
     val totals = mutable.ArrayBuffer.empty[WaveTotals]
     var nextSeq = 0L
     var fetchedTotal = 0L
@@ -219,6 +220,7 @@ class RefCrawler(cfg: CrawlConfig) {
             // this page's single discovered link (scope + dedup + robots +
             // depth+1, exactly like an outlink)
             val c = CanonicalUrl.resolve(e.canonical_url, raw)
+            redirects += RedirectRow(wave, e.canonical_url, e.host, c)
             if (!cur.scope.allows(c)) filteredThisWave += 1
             else {
               val (d, dd, dn) = admit(c, e.depth + 1)
@@ -241,6 +243,7 @@ class RefCrawler(cfg: CrawlConfig) {
     }
 
     (CrawlResult(trace.toSeq, seen.toSet, docs.toSeq,
-      errors.sortBy(e => (e.wave, e.canonical_url)).toSeq), totals.toSeq)
+      errors.sortBy(e => (e.wave, e.canonical_url)).toSeq,
+      redirects.sortBy(r => (r.wave, r.canonical_url)).toSeq), totals.toSeq)
   }
 }

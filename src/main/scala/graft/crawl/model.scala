@@ -266,5 +266,17 @@ case class CrawlConfig(
   * `errors`: permanently failed fetches, normalized to
   * (wave, canonical_url) order on both sides.
   */
+/** One followed redirect: `canonical_url` consumed a politeness slot at
+  * `wave` and 3xx'd to `target_url` (resolved absolute form). Recorded
+  * even when the target is scope-filtered / depth-capped / already seen —
+  * the observation happened regardless of the target's admission. This is
+  * the materialized URL-ALIAS edge list: downstream dedup can collapse
+  * alias chains (e.g. cluster doc_ids whose URLs redirect to one target)
+  * without re-crawling.
+  */
+case class RedirectRow(wave: Int, canonical_url: String, host: String,
+                       target_url: String)
+
 case class CrawlResult(trace: Seq[TraceRow], seen: Set[String], docs: Seq[Doc],
-                       errors: Seq[ErrorRow] = Nil)
+                       errors: Seq[ErrorRow] = Nil,
+                       redirects: Seq[RedirectRow] = Nil)

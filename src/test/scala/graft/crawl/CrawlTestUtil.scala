@@ -23,5 +23,6 @@ object CrawlTestUtil {
       }
     }
     assert(engine.errors === oracle.errors, "errors table differs")
+    assert(engine.redirects === oracle.redirects, "redirects table differs")
   }
 }

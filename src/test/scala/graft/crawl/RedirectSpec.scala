@@ -144,6 +144,11 @@ class RedirectSpec extends AnyFunSuite {
     assert(o.errors.isEmpty)
     // denied target: in seen (admission), never fetched
     assert(o.seen.contains(denied) && !traced.contains(denied))
+    // the redirects ALIAS TABLE records every hop with resolved targets —
+    // including the loop edges and the hop into the denied target
+    val edges = o.redirects.map(r => r.canonical_url -> r.target_url).toSet
+    assert(edges === Set(a -> b, b -> c, x -> y, y -> x, d -> denied))
+    assert(o.redirects.forall(r => graft.functions.CanonicalUrl.host(r.canonical_url) == r.host))
     val root = tmp()
     CrawlDriver.run(spark, conf, root)
     assertEqualResults(o, CrawlDriver.result(spark, root))
