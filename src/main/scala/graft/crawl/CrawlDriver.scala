@@ -1027,6 +1027,33 @@ object CrawlDriver {
     }
     var wavesRun = 0
 
+    // ---- per-host ADMISSION-CAP state (cfg.maxUrlsPerHost, oracle model
+    // point 10): a host's cumulative admission count == its seen-set row
+    // count, so the state needs no table of its own — it initializes as a
+    // groupBy over the seed hint / committed seen table and then chains
+    // wave-to-wave through localCheckpoints ((counts ∪ this wave's
+    // admissions) re-aggregated), exactly host-dimension-sized. Rebuilding
+    // from seen on resume also makes admissions from earlier UNCAPPED runs
+    // (and expire() deletions) count correctly by construction. The
+    // chained checkpoint is MATERIALIZED eagerly each wave (a count() over
+    // two cached inputs) — a lazy one would recompute through the
+    // predecessor checkpoint after the release queue frees it — and the
+    // count doubles as the exact row bound for the counts-join broadcast
+    // hint (RDD-backed counts have no size stats; see hintRobots).
+    val hostCap = cfg.maxUrlsPerHost
+    val capActive = hostCap != Long.MaxValue
+    var hostCounts: DataFrame =
+      if (!capActive) null
+      else fast.map(_.seen0).getOrElse(store.read("seen"))
+        .groupBy($"host_hash").agg(count(lit(1)).as("__hc"))
+    // upper bound until the first materialized update (hosts ≤ admissions)
+    var capHostsApprox: Long = if (capActive) math.max(1L, nextSeq) else 0L
+    // same broadcast-sanity bound as the robots dimension: the counts table
+    // is host-dimension-sized, so past ~2^20 hosts the cap join must be a
+    // shuffled join, not a driver-resident broadcast
+    def hintCounts(df: DataFrame): DataFrame =
+      if (capHostsApprox <= eng.robotsBroadcastMaxRows) broadcast(df) else df
+
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
     // store is the durable/resume copy, written asynchronously off the
     // critical path): `pendingDF` is the live frontier plan; `seenSlices`
@@ -1432,7 +1459,36 @@ object CrawlDriver {
             pruned.select($"canonical_url")
           } else seenSlices.map(_.select($"canonical_url")).reduce(_ unionByName _)
         val confirmedNew = maybeSeen.join(seenTbl, Seq("canonical_url"), "left_anti")
-        val newUrls = definitelyNew.unionByName(confirmedNew)
+        val newUrlsAll = definitelyNew.unionByName(confirmedNew)
+
+        // ---- per-host ADMISSION CAP (guard order: scope → depth cap →
+        // seen-dedup → HOST CAP → robots, oracle model point 10): rank the
+        // wave's NEW urls per host in admission order — the same (source
+        // frontier keys, link_idx) keys the discovery numbering uses — and
+        // admit only while prior-admissions + in-wave-rank fit under the
+        // cap. Capped rows are dropped HERE: they never enter seen and
+        // never take a discovery_time (the numbering below runs post-cap),
+        // so a later wave can cap-count a re-discovery again, exactly like
+        // the oracle. The per-host window shuffles on host_hash — fine-
+        // grained at scale (same shape as the selection budget window); the
+        // counts join broadcasts only under the driver-tracked host bound.
+        // Keyed by host_hash (the seen-set carries no host strings): a
+        // 64-bit collision would conflate two hosts' counts — at the 10^7-
+        // host design point P(any collision) ~ 3e-6, an accepted bias for
+        // an anti-trap heuristic guard.
+        val (newUrls, capTagged): (DataFrame, Option[DataFrame]) =
+          if (!capActive) (newUrlsAll, None)
+          else {
+            val capWin = Window.partitionBy($"host_hash")
+              .orderBy($"src_pri", $"src_dt", $"src_url", $"link_idx")
+            val t = newUrlsAll
+              .withColumn("__hrk", row_number().over(capWin))
+              .join(hintCounts(hostCounts), Seq("host_hash"), "left")
+              .withColumn("__room", lit(hostCap) - coalesce($"__hc", lit(0L)))
+              .cache()
+            (t.filter($"__hrk" <= $"__room").drop("__hrk", "__hc", "__room"),
+              Some(t))
+          }
 
         // ---- discovery numbering: global rank in admission order —
         // (source-page frontier keys, link_idx)
@@ -1478,6 +1534,10 @@ object CrawlDriver {
           .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
         val discovered = robotsCounts.values.sum
         val denied = robotsCounts.getOrElse(false, 0L)
+        // host-cap drop count (one tiny job over the cached cap ranking;
+        // only when the cap is configured)
+        val hostCappedTotal =
+          capTagged.map(_.filter($"__hrk" > $"__room").count()).getOrElse(0L)
 
         val tDedupMs = (System.nanoTime() - tDedup0) / 1e6
         val tCommit0 = System.nanoTime()
@@ -1498,7 +1558,9 @@ object CrawlDriver {
             WaveMetrics(wave, pid, ok, ok, 0L, 0L, 0L, 0L)
           }.toSeq
           val tail = WaveMetrics(wave, -1, 0L, 0L, discovered,
-            candTotal - cappedTotal - discovered /* deduped in-wave or vs seen */,
+            // deduped = in-wave or vs-seen collapses (later in-wave
+            // sightings of a host-capped URL count here, like the oracle)
+            candTotal - cappedTotal - hostCappedTotal - discovered,
             denied, deferredCount)
           base :+ tail
         }
@@ -1571,7 +1633,8 @@ object CrawlDriver {
             "wave_errored" -> erroredTotal.toString,
             "wave_redirected" -> redirectedTotal.toString,
             "wave_depth_capped" -> cappedTotal.toString,
-            "wave_scope_filtered" -> filteredTotal.toString)
+            "wave_scope_filtered" -> filteredTotal.toString,
+            "wave_host_capped" -> hostCappedTotal.toString)
         val doDelta = useFilter && discovered > 0
         val filterNow = bloomB
         val genNow = filterGen
@@ -1607,10 +1670,29 @@ object CrawlDriver {
         carriedPendingCount = Some(deferredCount + (discovered - denied) + requeuedTotal)
         val supersededPending = pendingDF
         pendingDF = newPending
-        prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots)
+        // fold this wave's admissions (newSeen: admitted + robots-denied —
+        // both occupy seen, both count) into the per-host counts and
+        // re-checkpoint. Materialized NOW via count(): a lazy checkpoint
+        // would recompute through the superseded counts checkpoint after
+        // the release queue frees it (and through this wave's caches). The
+        // count is also the exact row bound for the next broadcast hint.
+        // The superseded checkpoint rides the two-generation queue (its
+        // last consumer, this wave's capTagged cache, dies one await
+        // earlier); wave 1's superseded "checkpoint" is the init groupBy
+        // plan, for which the release is a no-op.
+        val supersededCounts = if (capActive) List(hostCounts) else Nil
+        if (capActive) {
+          hostCounts = hostCounts
+            .unionByName(newSeen.groupBy($"host_hash").agg(count(lit(1)).as("__hc")))
+            .groupBy($"host_hash").agg(sum($"__hc").as("__hc"))
+            .localCheckpoint(false)
+          capHostsApprox = hostCounts.count()
+        }
+        prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++
+          capTagged
         ckptPrev = ckptPrev ++ ckptCur
         ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
-          waveSeqCkpts ++
+          waveSeqCkpts ++ supersededCounts ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
         bootstrapRes = Nil
         if (cachedSeen) {
@@ -1658,7 +1740,7 @@ object CrawlDriver {
     // from the store on resume), release every remaining per-wave
     // checkpoint (the exit-path awaitInFlight ran, so no consumer
     // survives), and reclaim superseded filter generations
-    (ckptPrev ++ ckptCur ++ bootstrapRes :+ pendingDF)
+    (ckptPrev ++ ckptCur ++ bootstrapRes ++ Option(hostCounts) :+ pendingDF)
       .foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
     seenSlices.foreach { s =>
       s.unpersist()

@@ -15,7 +15,8 @@ case class WaveTotals(
     budget_deferred: Long,
     redirected: Long = 0L,
     depth_capped: Long = 0L,
-    scope_filtered: Long = 0L)
+    scope_filtered: Long = 0L,
+    host_capped: Long = 0L)
 
 /** Sequential, Spark-free oracle crawler — the BINDING semantics
   * (SURVEY.md §1.4; the reference mount is empty, so this deterministic
@@ -60,7 +61,20 @@ case class WaveTotals(
   *     are dropped BEFORE the seen check — counted capped even if seen —
   *     and never occupy seen, so a later shallower path can admit them).
   *     Seeds bypass scope and are depth 0.
-  * 10. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
+  * 10. HOST CAP ([[CrawlConfig.maxUrlsPerHost]], the anti-trap admission
+  *     guard): a host's cumulative admission count = its seen-set entries
+  *     (robots-denied included; seeds included). Checked AFTER the
+  *     seen-dedup and BEFORE robots: a NEW URL on a full host is dropped
+  *     without entering seen or taking a discovery_time — within a wave
+  *     the first (cap − prior) new URLs of the host in admission order
+  *     win. The first in-wave sighting of a capped URL counts
+  *     host_capped; later sightings the same wave count deduped (they
+  *     collapse in the engine's intra-wave dedup); a re-discovery in a
+  *     LATER wave counts host_capped again. Seeds bypass the check but
+  *     their admissions count toward it; counts persist across
+  *     [[runPhased]] phases (the engine rebuilds them from seen on
+  *     resume, capped or not).
+  * 11. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
   *     (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
@@ -149,25 +163,38 @@ class RefCrawler(cfg: CrawlConfig) {
     // Depth cap FIRST (before the seen check, matching the engine's
     // pre-dedup candidate filter): a capped candidate counts as capped
     // even if already seen, and never enters the seen-set — a later
-    // shallower discovery can still admit it.
+    // shallower discovery can still admit it. Host cap AFTER the seen
+    // check (model point 10): a new URL on a full host is dropped without
+    // a seen entry or a seq; the wave-local set makes later in-wave
+    // sightings of it read as dups, matching the engine's dedup-then-cap
+    // chain.
     var cappedInWave = 0L
-    def admit(canonical: String, depth: Int): (Long, Long, Long) = {
+    var hostCappedInWave = 0L
+    val hostAdmitted = mutable.HashMap.empty[String, Long]
+    val hostCappedUrlsInWave = mutable.HashSet.empty[String]
+    def admit(canonical: String, depth: Int, seed: Boolean = false): (Long, Long, Long) = {
       if (depth > cur.maxDepth) { cappedInWave += 1; (0L, 0L, 0L) }
       else if (seen.contains(canonical)) (0L, 1L, 0L)
       else {
-        seen += canonical
-        val seq = nextSeq
-        nextSeq += 1
-        if (robotsAllowed(canonical)) {
-          val host = CanonicalUrl.host(canonical)
-          pending += FrontierEntry(canonical, host, XxHash64.hashString(host),
-            priority = depth, discovery_time = seq, depth = depth)
-          (1L, 0L, 0L)
-        } else (1L, 0L, 1L)
+        val host = CanonicalUrl.host(canonical)
+        if (!seed && hostAdmitted.getOrElse(host, 0L) >= cur.maxUrlsPerHost) {
+          if (hostCappedUrlsInWave.add(canonical)) { hostCappedInWave += 1; (0L, 0L, 0L) }
+          else (0L, 1L, 0L)
+        } else {
+          seen += canonical
+          hostAdmitted.update(host, hostAdmitted.getOrElse(host, 0L) + 1L)
+          val seq = nextSeq
+          nextSeq += 1
+          if (robotsAllowed(canonical)) {
+            pending += FrontierEntry(canonical, host, XxHash64.hashString(host),
+              priority = depth, discovery_time = seq, depth = depth)
+            (1L, 0L, 0L)
+          } else (1L, 0L, 1L)
+        }
       }
     }
 
-    cur.seeds.foreach(s => admit(CanonicalUrl.canonicalize(s), depth = 0))
+    cur.seeds.foreach(s => admit(CanonicalUrl.canonicalize(s), depth = 0, seed = true))
 
     var wave = 1
     while (pending.nonEmpty && wave <= cur.maxWaves && fetchedTotal < cur.maxUrls) {
@@ -190,6 +217,8 @@ class RefCrawler(cfg: CrawlConfig) {
       var redirectedThisWave = 0L
       var filteredThisWave = 0L
       cappedInWave = 0L
+      hostCappedInWave = 0L
+      hostCappedUrlsInWave.clear()
       selected.foreach { e =>
         cur.fetcher.fetchAttempt(e.canonical_url, e.attempts) match {
           case Fetched(spans, rawLinks) =>
@@ -231,7 +260,8 @@ class RefCrawler(cfg: CrawlConfig) {
       }
       fetchedTotal += fetchedThisWave
       totals += WaveTotals(wave, fetchedThisWave, discovered, deduped, denied,
-        deferred.toLong, redirectedThisWave, cappedInWave, filteredThisWave)
+        deferred.toLong, redirectedThisWave, cappedInWave, filteredThisWave,
+        hostCappedInWave)
       wave += 1
       if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
         cur = cfg2

@@ -250,8 +250,22 @@ case class CrawlConfig(
       * form) before the depth cap and the seen-set; filtered URLs never
       * enter the crawl and can never be re-admitted. Seeds bypass scope.
       */
-    scope: UrlScope = UrlScope()) {
+    scope: UrlScope = UrlScope(),
+    /** Per-host ADMISSION cap (the Heritrix max-documents-per-host
+      * anti-trap guard): once a host has had this many URLs admitted —
+      * i.e. its seen-set entries, which include robots-denied URLs —
+      * further discovered URLs on it are dropped at discovery, AFTER the
+      * seen-dedup check and BEFORE robots (guard order: scope → depth cap
+      * → seen-dedup → host cap → robots). Capped URLs never enter seen
+      * and never get a discovery_time; within a wave the first
+      * (cap − prior) NEW URLs of the host in admission order win. Seeds
+      * bypass the check but their admissions count toward it. Cap state
+      * is derivable from the seen-set (|seen per host|), so resume
+      * rebuilds it — including admissions from earlier UNCAPPED runs.
+      */
+    maxUrlsPerHost: Long = Long.MaxValue) {
   require(maxDepth >= 0, "maxDepth must be >= 0 (seeds are depth 0)")
+  require(maxUrlsPerHost >= 0, "maxUrlsPerHost must be >= 0")
   /** The fetch implementation; engine and oracle share it. */
   def fetcher: PageFetcher = fetcherOverride.getOrElse(SyntheticFetcher(web))
   /** Static budget (fixture mode); fetch mode layers fetched Crawl-delay

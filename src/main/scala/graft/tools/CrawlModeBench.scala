@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   * (one warm + one timed run per mode, one shared session) — for iterating
   * on a single mode without paying the full Bench scaling matrix.
   * Usage: sbt "runMain graft.tools.CrawlModeBench [cores] [parseIters] [mode ...]"
-  * Modes: fixture | fetch | table | scale | scale-table
+  * Modes: fixture | fetch | table | scale | scale-table | hostcap
+  * (hostcap = fixture + a maxUrlsPerHost high enough to never bind: the
+  * full cap machinery — per-host window, counts join, chained checkpoint —
+  * runs every wave, so fixture-vs-hostcap is its pure overhead.)
   */
 object CrawlModeBench {
   def main(args: Array[String]): Unit = {
@@ -31,6 +34,7 @@ object CrawlModeBench {
     }
     def engOf(mode: String): (CrawlDriver.EngineConfig, Boolean) = mode match {
       case "fixture"     => (CrawlDriver.EngineConfig(), false)
+      case "hostcap"     => (CrawlDriver.EngineConfig(), false)
       case "fetch"       => (CrawlDriver.EngineConfig(), true)
       case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
       case "scale"       => (CrawlDriver.EngineConfig(filterDistribution = "lazy",
@@ -42,10 +46,12 @@ object CrawlModeBench {
 
     modes.foreach { m =>
       val (eng, fetch) = engOf(m)
+      def withCap(c: CrawlConfig): CrawlConfig =
+        if (m == "hostcap") c.copy(maxUrlsPerHost = 1L << 40) else c
       // warm (small), then timed (the Bench wide-wave regime)
-      CrawlDriver.run(spark, cfgOf(101, 2000, 5000, fetch),
+      CrawlDriver.run(spark, withCap(cfgOf(101, 2000, 5000, fetch)),
         java.nio.file.Files.createTempDirectory("cmb-warm").toString, eng)
-      val cfg = cfgOf(2001, 60000, 60000, fetch)
+      val cfg = withCap(cfgOf(2001, 60000, 60000, fetch))
       val root = java.nio.file.Files.createTempDirectory("cmb").toString
       val t0 = System.nanoTime()
       val h = CrawlDriver.run(spark, cfg, root, eng)
