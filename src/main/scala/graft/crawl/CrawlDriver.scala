@@ -123,7 +123,12 @@ object CrawlDriver {
                          * regime) — lets tests pin the strategy branch
                          * actually taken. */
                        robotsHintsApplied: Int = 0,
-                       robotsHintsWithheld: Int = 0)
+                       robotsHintsWithheld: Int = 0,
+                       /** host-cap counts join: same applied/withheld
+                         * accounting for the per-host counts dimension
+                         * (withheld past robotsBroadcastMaxRows hosts). */
+                       capHintsApplied: Int = 0,
+                       capHintsWithheld: Int = 0)
 
   /** run()-path a-priori initial state: hints + the deferred wave-0 commit
     * (committed asynchronously on the inFlight rail, awaited before the
@@ -1051,8 +1056,12 @@ object CrawlDriver {
     // same broadcast-sanity bound as the robots dimension: the counts table
     // is host-dimension-sized, so past ~2^20 hosts the cap join must be a
     // shuffled join, not a driver-resident broadcast
+    var capHintsApplied = 0
+    var capHintsWithheld = 0
     def hintCounts(df: DataFrame): DataFrame =
-      if (capHostsApprox <= eng.robotsBroadcastMaxRows) broadcast(df) else df
+      if (capHostsApprox <= eng.robotsBroadcastMaxRows) {
+        capHintsApplied += 1; broadcast(df)
+      } else { capHintsWithheld += 1; df }
 
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
     // store is the durable/resume copy, written asynchronously off the
@@ -1749,7 +1758,7 @@ object CrawlDriver {
     if (lazyFilters)
       shardStore.get.cleanupBelow(filterGen.baseVersion, filterGen.deltaWaves.toSet)
     RunHandle(store, wavesRun, fetchedTotal, filterBroadcasts, maxSeenSlices,
-      robotsHintsApplied, robotsHintsWithheld)
+      robotsHintsApplied, robotsHintsWithheld, capHintsApplied, capHintsWithheld)
   }
 
   /** Expire URLs — the deletion-safe-dedup flow the cuckoo variant exists

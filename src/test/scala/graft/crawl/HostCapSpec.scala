@@ -110,6 +110,20 @@ class HostCapSpec extends AnyFunSuite {
     CrawlDriver.run(spark, cfg(7).copy(maxWaves = 2), root, eng)
     CrawlDriver.resume(spark, cfg(7), root, eng)
     assertEqualResults(capped, CrawlDriver.result(spark, root))
+
+    // the counts-join strategy branch, both regimes pinned by counters:
+    // broadcast-hinted under the host bound, forced-withheld above it
+    // (robotsBroadcastMaxRows=0 models the >2^20-host shuffled regime) —
+    // outputs identical either way
+    val rootH = tmp()
+    val hH = CrawlDriver.run(spark, cfg(7), rootH)
+    assert(hH.capHintsApplied > 0 && hH.capHintsWithheld === 0)
+    assertEqualResults(capped, CrawlDriver.result(spark, rootH))
+    val rootW = tmp()
+    val hW = CrawlDriver.run(spark, cfg(7), rootW,
+      CrawlDriver.EngineConfig(robotsBroadcastMaxRows = 0))
+    assert(hW.capHintsWithheld > 0 && hW.capHintsApplied === 0)
+    assertEqualResults(capped, CrawlDriver.result(spark, rootW))
   }
 
   test("cap introduced at RESUME: phase-1 admissions from an UNCAPPED run " +
@@ -128,6 +142,37 @@ class HostCapSpec extends AnyFunSuite {
     CrawlDriver.run(spark, cfg1.copy(maxWaves = 2), root)
     CrawlDriver.resume(spark, cfg2, root)
     assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
+  test("expire() frees cap room: deleting a full host's seen rows lets a " +
+    "resumed crawl admit new URLs on it (counts rebuild from seen), and " +
+    "the expired URL itself re-caps once the host refills — engine-only " +
+    "(the oracle has no expire)") {
+    // hostA cap 3: wave 1 fetches seed s, admits p1,p2 (seed counts),
+    // caps p3,p4; p2 links p3 and p1 for the post-expire waves
+    val fetcher = MapFetcher(Map(
+      "http://hosta.test/s" -> Seq("/p1", "/p2", "/p3", "/p4"),
+      "http://hosta.test/p2" -> Seq("/p3", "/p1")))
+    val cfg = CrawlConfig(Seq("http://hosta.test/s"), budgetPerHost = 4,
+      maxWaves = 1000, fetcherOverride = Some(fetcher), maxUrlsPerHost = 3)
+    val root = tmp()
+    CrawlDriver.run(spark, cfg.copy(maxWaves = 1), root)
+    val store = new graft.sources.SnapshotStore(root, spark)
+    import spark.implicits._
+    assert(store.read("seen").as[SeenRow].collect().map(_.canonical_url).toSet ===
+      Set("http://hosta.test/s", "http://hosta.test/p1", "http://hosta.test/p2"))
+    // expire p1: hostA drops to 2 admissions — one slot of room again
+    assert(CrawlDriver.expire(spark, root, Seq("http://hosta.test/p1")) === 1L)
+    CrawlDriver.resume(spark, cfg, root)
+    val res = CrawlDriver.result(spark, root)
+    // p2's wave-2 fetch re-discovers p3 (admission order first — takes the
+    // freed slot) and p1 (host full again — capped, stays out of seen)
+    assert(res.seen === Set("http://hosta.test/s", "http://hosta.test/p2",
+      "http://hosta.test/p3"))
+    assert(res.trace.map(_.canonical_url).contains("http://hosta.test/p3"))
+    assert(!res.seen.contains("http://hosta.test/p1"))
+    val byWave = summaryByWave(root, "wave_host_capped")
+    assert(byWave.values.sum === 3L, "p3+p4 capped in wave 1, p1 re-capped post-expire")
   }
 
   test("maxUrlsPerHost = 0 fetches exactly the seeds (seeds bypass the cap " +
