@@ -128,7 +128,11 @@ object CrawlDriver {
                          * accounting for the per-host counts dimension
                          * (withheld past robotsBroadcastMaxRows hosts). */
                        capHintsApplied: Int = 0,
-                       capHintsWithheld: Int = 0)
+                       capHintsWithheld: Int = 0,
+                       /** content-seen state join: same applied/withheld
+                         * accounting for the fingerprint dimension. */
+                       contentHintsApplied: Int = 0,
+                       contentHintsWithheld: Int = 0)
 
   /** run()-path a-priori initial state: hints + the deferred wave-0 commit
     * (committed asynchronously on the inFlight rail, awaited before the
@@ -321,6 +325,23 @@ object CrawlDriver {
   // their rules are always active.
   private val RobotsRules = "robots_rules"
   private val RobotsHosts = "robots_hosts"
+
+  // ---- content-seen dedup layout (cfg.contentDedup) -----------------------
+  // `content_seen` is the append-only fingerprint registry: one row per
+  // DISTINCT content fingerprint ever fetched, carrying its owning URL (the
+  // first fetch) and the wave it appeared — at most one row per hash ever
+  // exists, so reads need no recency resolution. `duplicates` is the
+  // content-ALIAS edge list (one row per duplicate fetch). At the 10^10
+  // design point content_seen is docs-sized; the in-run state joins the
+  // wave's successes (wave-sized) against it under the same broadcast-hint-
+  // or-shuffle policy as every other dimension, and the store layout can
+  // cluster by a hash band for pruned scans exactly like the seen table.
+  private val ContentSeen = "content_seen"
+  private val Duplicates = "duplicates"
+  private def contentSeenSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "content_hash BIGINT, canonical_url STRING, wave INT")
+  private def contentStateSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "__chash BIGINT, __owner STRING")
   private def robotsRulesSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "host STRING, path_prefix STRING, allow BOOLEAN, rule_order INT, wave INT")
   private def robotsHostsSchema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -561,6 +582,8 @@ object CrawlDriver {
       .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
       .declare("errors", org.apache.spark.sql.Encoders.product[ErrorRow].schema)
       .declare("redirects", org.apache.spark.sql.Encoders.product[RedirectRow].schema)
+      .declare(Duplicates, org.apache.spark.sql.Encoders.product[DuplicateRow].schema)
+      .declare(ContentSeen, contentSeenSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "seeds" -> seedsCanonical.size.toString,
@@ -740,6 +763,8 @@ object CrawlDriver {
       .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
       .declare("errors", org.apache.spark.sql.Encoders.product[ErrorRow].schema)
       .declare("redirects", org.apache.spark.sql.Encoders.product[RedirectRow].schema)
+      .declare(Duplicates, org.apache.spark.sql.Encoders.product[DuplicateRow].schema)
+      .declare(ContentSeen, contentSeenSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "seeds" -> nSeeds.toString,
@@ -1063,6 +1088,41 @@ object CrawlDriver {
         capHintsApplied += 1; broadcast(df)
       } else { capHintsWithheld += 1; df }
 
+    // ---- CONTENT-SEEN state (cfg.contentDedup, oracle model point 11):
+    // (fingerprint -> owning URL), chained wave-to-wave through eagerly
+    // materialized localCheckpoints exactly like the host-cap counts. The
+    // durable copy is the `content_seen` table (appended with each wave's
+    // NEW fingerprints), which resume reads back; a store written with the
+    // flag off has an empty table, so enabling at resume dedups only
+    // against content fetched from then on (matches the oracle, which
+    // records nothing while off). The eager count() doubles as the exact
+    // row bound for the state-join broadcast hint (RDD-backed state has no
+    // size stats); past the bound the join shuffles on content_hash — the
+    // docs-sized-dimension regime.
+    val cdupActive = cfg.contentDedup
+    var contentSeenState: DataFrame =
+      if (!cdupActive) null
+      else if (fast.isEmpty &&
+        store.currentManifest.exists(_.tables.contains(ContentSeen)))
+        store.read(ContentSeen)
+          .select($"content_hash".as("__chash"), $"canonical_url".as("__owner"))
+      else emptyDf(spark, contentStateSchema)
+    // floored at 1 like capHostsApprox: the hint bound is an upper-bound
+    // heuristic, and a (vacuously broadcastable) empty state must not
+    // dodge the forced-withheld test seam at bound 0
+    var contentRowsApprox: Long =
+      if (!cdupActive) 0L
+      else if (fast.isEmpty &&
+        store.currentManifest.exists(_.tables.contains(ContentSeen)))
+        math.max(1L, store.read(ContentSeen).count())
+      else 1L
+    var contentHintsApplied = 0
+    var contentHintsWithheld = 0
+    def hintContent(df: DataFrame): DataFrame =
+      if (contentRowsApprox <= eng.robotsBroadcastMaxRows) {
+        contentHintsApplied += 1; broadcast(df)
+      } else { contentHintsWithheld += 1; df }
+
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
     // store is the durable/resume copy, written asynchronously off the
     // critical path): `pendingDF` is the live frontier plan; `seenSlices`
@@ -1199,6 +1259,7 @@ object CrawlDriver {
         // attempts), so any parallelism yields the same outcomes.
         val maxAtt = cfg.maxFetchAttempts
         val scope = cfg.scope
+        val cdup = cdupActive
         val outcomes = salted
           .as[FrontierEntry]
           .mapPartitions { it =>
@@ -1209,22 +1270,26 @@ object CrawlDriver {
                   // resolve outlinks in document order, then SCOPE-filter
                   // (before the depth cap and seen-set, like the oracle):
                   // `links` carries only in-scope links; the filtered
-                  // count rides as a column into the fetchStats rollup
+                  // count rides as a column into the fetchStats rollup.
+                  // Content fingerprint computed here, where the spans are
+                  // in hand — the dedup tagging downstream never touches
+                  // them.
                   val resolved = raw.map(r => CanonicalUrl.resolve(e.canonical_url, r))
                   val links = resolved.filter(scope.allows)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "ok", spans, links,
-                    resolved.size - links.size, null.asInstanceOf[String], pid)
+                    resolved.size - links.size, null.asInstanceOf[String], pid,
+                    if (cdup) ContentHash.ofSpans(spans) else 0L)
                 case TransientFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "transient",
                     Vector.empty[Span], Vector.empty[String], 0,
-                    null.asInstanceOf[String], pid)
+                    null.asInstanceOf[String], pid, 0L)
                 case PermanentFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "permanent",
                     Vector.empty[Span], Vector.empty[String], 0,
-                    null.asInstanceOf[String], pid)
+                    null.asInstanceOf[String], pid, 0L)
                 case Redirected(raw) =>
                   // the Location target rides as this page's single link
                   // (scope/dedup/robots/depth+1 downstream, exactly like
@@ -1236,13 +1301,13 @@ object CrawlDriver {
                     if (scope.allows(c)) (Vector(c), 0) else (Vector.empty[String], 1)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, "redirect",
-                    Vector.empty[Span], links, nf, c, pid)
+                    Vector.empty[Span], links, nf, c, pid, 0L)
               }
             }
           }
           .toDF("canonical_url", "host", "host_hash", "priority",
             "discovery_time", "depth", "attempts", "status", "spans", "links",
-            "__nfilt", "__rtarget", "__pid")
+            "__nfilt", "__rtarget", "__pid", "__chash")
           .cache()
         val fetched = outcomes.filter($"status" === "ok")
 
@@ -1263,11 +1328,30 @@ object CrawlDriver {
           .select(lit(wave).as("wave"), ($"__seq0" + 1L).as("seq"), $"host", $"canonical_url")
           .as[TraceRow]
 
-        // coalesce: the parse stage runs at 8x-cores granularity for tail
-        // smoothing, but the docs FILES should be one per core, not 8
-        val wDocs = fetched.select($"canonical_url".as("doc_id"), $"spans")
-          .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
-          .as[Doc]
+        // ---- content-seen dedup tagging (cfg.contentDedup, oracle model
+        // point 11): fingerprint-match each SUCCESS against the
+        // content-seen state (cross-wave owner wins) and within the wave
+        // (first in frontier order wins — the same total order the trace
+        // uses, so the in-wave owner is the earlier-traced page). LIGHT
+        // columns only: spans never ride the content_hash window shuffle;
+        // the state join follows the standard driver-tracked broadcast-
+        // hint-or-shuffle policy. Duplicates keep their trace row (the
+        // fetch happened and consumed its politeness slot) but contribute
+        // no doc and no candidates below.
+        val contentTagged: Option[DataFrame] =
+          if (!cdupActive) None
+          else {
+            val cwin = Window.partitionBy($"__chash")
+              .orderBy($"priority", $"discovery_time", $"canonical_url")
+            Some(fetched.select($"canonical_url", $"host", $"priority",
+                $"discovery_time", $"depth", $"links", $"__nfilt", $"__chash")
+              .withColumn("__crk", row_number().over(cwin))
+              .withColumn("__cfirst", first($"canonical_url").over(cwin))
+              .join(hintContent(contentSeenState), Seq("__chash"), "left")
+              .withColumn("__dup_of",
+                coalesce($"__owner", when($"__crk" > 1, $"__cfirst")))
+              .cache())
+          }
 
         // ---- outlink candidates with (source-page frontier keys,
         // link_idx) provenance — exactly the oracle's admission order
@@ -1282,9 +1366,21 @@ object CrawlDriver {
         // (Coalesced off the fine-grained parse blocks: the dedup chain is
         // cheap per row — 8x-cores task granularity would be pure overhead.)
         val maxDepthL = cfg.maxDepth.toLong
-        val candidates = outcomes
-          .filter($"status".isin("ok", "redirect") &&
-            $"depth".cast("long") + 1L <= maxDepthL)
+        val candSrc: DataFrame = contentTagged match {
+          case None =>
+            outcomes.filter($"status".isin("ok", "redirect") &&
+              $"depth".cast("long") + 1L <= maxDepthL)
+          case Some(t) =>
+            // content duplicates contribute no candidates (their links are
+            // never explored); redirect rows are content-free and keep
+            // their single Location link
+            val c = Seq($"canonical_url", $"priority", $"discovery_time",
+              $"depth", $"links")
+            t.filter($"__dup_of".isNull).select(c: _*)
+              .unionByName(outcomes.filter($"status" === "redirect").select(c: _*))
+              .filter($"depth".cast("long") + 1L <= maxDepthL)
+        }
+        val candidates = candSrc
           .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
           .select($"priority".as("src_pri"), $"discovery_time".as("src_dt"),
             $"canonical_url".as("src_url"), $"depth",
@@ -1328,6 +1424,46 @@ object CrawlDriver {
         val redirectedTotal = fetchStats.map(_._7).sum
         val cappedTotal = fetchStats.map(_._8).sum
         val filteredTotal = fetchStats.map(_._9).sum
+
+        // content-dup totals + the dup rows' already-counted link
+        // contributions (one tiny agg over the cached tagging): a
+        // duplicate's links are never explored, so they come OUT of the
+        // candidate / depth-capped / scope-filtered arithmetic — the
+        // oracle never evaluates them at all
+        val (contentDupTotal, dupCands, dupCapped, dupNfilt) = contentTagged match {
+          case None => (0L, 0L, 0L, 0L)
+          case Some(t) =>
+            val r = t.filter($"__dup_of".isNotNull)
+              .agg(count(lit(1)),
+                coalesce(sum(size($"links")).cast("long"), lit(0L)),
+                coalesce(sum(when($"depth".cast("long") + 1L > maxDepthL,
+                  size($"links")).otherwise(0)).cast("long"), lit(0L)),
+                coalesce(sum($"__nfilt").cast("long"), lit(0L))).head()
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+        val candTotalEff = candTotal - dupCands
+        val cappedTotalEff = cappedTotal - dupCapped
+        val filteredTotalEff = filteredTotal - dupNfilt
+
+        // docs: originals only. The dup-URL list is exact-counted above and
+        // usually tiny relative to the wave, so the anti-join broadcasts
+        // under the standard bound and the spans never shuffle; a
+        // mirror-dominated wave degrades to the (then correctly-shaped)
+        // shuffled anti-join. coalesce: the parse stage runs at 8x-cores
+        // granularity for tail smoothing, but the docs FILES should be one
+        // per core, not 8.
+        val wDocsBase = fetched.select($"canonical_url".as("doc_id"), $"spans")
+        val wDocs = (contentTagged match {
+          case Some(t) if contentDupTotal > 0 =>
+            val dupUrls = t.filter($"__dup_of".isNotNull)
+              .select($"canonical_url".as("doc_id"))
+            wDocsBase.join(
+              if (contentDupTotal <= eng.robotsBroadcastMaxRows) broadcast(dupUrls)
+              else dupUrls,
+              Seq("doc_id"), "left_anti")
+          case _ => wDocsBase
+        }).coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
+          .as[Doc]
 
         // transient failures with attempts left re-enter the frontier with
         // the SAME ordering keys and attempts+1 (they compete under the
@@ -1503,7 +1639,7 @@ object CrawlDriver {
         // (source-page frontier keys, link_idx)
         val numbered = withGlobalSeq(newUrls,
           Seq("src_pri", "src_dt", "src_url", "link_idx"), "__rank",
-          sizeHint = candTotal, onCheckpoint = ck => waveSeqCkpts ::= ck,
+          sizeHint = candTotalEff, onCheckpoint = ck => waveSeqCkpts ::= ck,
           windowMax = eng.seqWindowMax)
           .withColumn("discovery_time", $"__rank" + lit(nextSeq))
           .withColumn("priority", $"depth")
@@ -1569,7 +1705,7 @@ object CrawlDriver {
           val tail = WaveMetrics(wave, -1, 0L, 0L, discovered,
             // deduped = in-wave or vs-seen collapses (later in-wave
             // sightings of a host-capped URL count here, like the oracle)
-            candTotal - cappedTotal - hostCappedTotal - discovered,
+            candTotalEff - cappedTotalEff - hostCappedTotal - discovered,
             denied, deferredCount)
           base :+ tail
         }
@@ -1626,6 +1762,19 @@ object CrawlDriver {
         }
         if (erroredTotal > 0) commitBuilder.append("errors", errorRows)
         if (redirectedTotal > 0) commitBuilder.append("redirects", redirectRows)
+        // content-dedup state rides the wave commit: the dup alias rows and
+        // this wave's NEW fingerprints (every success is either a dup or a
+        // new owner, so the owner count is pure arithmetic — no extra job)
+        contentTagged.foreach { t =>
+          if (contentDupTotal > 0)
+            commitBuilder.append(Duplicates, t.filter($"__dup_of".isNotNull)
+              .select(lit(wave).as("wave"), $"canonical_url", $"host",
+                $"__dup_of".as("dup_of"), $"__chash".as("content_hash")))
+          if (fetchedThisWave - contentDupTotal > 0)
+            commitBuilder.append(ContentSeen, t.filter($"__dup_of".isNull)
+              .select($"__chash".as("content_hash"), $"canonical_url",
+                lit(wave).as("wave")))
+        }
         commitBuilder
           .append("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
           .append("trace", wTrace.toDF())
@@ -1641,9 +1790,10 @@ object CrawlDriver {
             "wave_requeued" -> requeuedTotal.toString,
             "wave_errored" -> erroredTotal.toString,
             "wave_redirected" -> redirectedTotal.toString,
-            "wave_depth_capped" -> cappedTotal.toString,
-            "wave_scope_filtered" -> filteredTotal.toString,
-            "wave_host_capped" -> hostCappedTotal.toString)
+            "wave_depth_capped" -> cappedTotalEff.toString,
+            "wave_scope_filtered" -> filteredTotalEff.toString,
+            "wave_host_capped" -> hostCappedTotal.toString,
+            "wave_content_dup" -> contentDupTotal.toString)
         val doDelta = useFilter && discovered > 0
         val filterNow = bloomB
         val genNow = filterGen
@@ -1697,11 +1847,22 @@ object CrawlDriver {
             .localCheckpoint(false)
           capHostsApprox = hostCounts.count()
         }
+        // fold this wave's new fingerprints into the content-seen state and
+        // re-checkpoint, same eager-materialization discipline (and exact
+        // broadcast-hint bound) as the host-cap counts above
+        val supersededContent = if (cdupActive) List(contentSeenState) else Nil
+        if (cdupActive) {
+          contentSeenState = contentSeenState
+            .unionByName(contentTagged.get.filter($"__dup_of".isNull)
+              .select($"__chash", $"canonical_url".as("__owner")))
+            .localCheckpoint(false)
+          contentRowsApprox = math.max(1L, contentSeenState.count())
+        }
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++
-          capTagged
+          capTagged ++ contentTagged
         ckptPrev = ckptPrev ++ ckptCur
         ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
-          waveSeqCkpts ++ supersededCounts ++
+          waveSeqCkpts ++ supersededCounts ++ supersededContent ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
         bootstrapRes = Nil
         if (cachedSeen) {
@@ -1749,7 +1910,8 @@ object CrawlDriver {
     // from the store on resume), release every remaining per-wave
     // checkpoint (the exit-path awaitInFlight ran, so no consumer
     // survives), and reclaim superseded filter generations
-    (ckptPrev ++ ckptCur ++ bootstrapRes ++ Option(hostCounts) :+ pendingDF)
+    (ckptPrev ++ ckptCur ++ bootstrapRes ++ Option(hostCounts) ++
+      Option(contentSeenState) :+ pendingDF)
       .foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
     seenSlices.foreach { s =>
       s.unpersist()
@@ -1758,7 +1920,8 @@ object CrawlDriver {
     if (lazyFilters)
       shardStore.get.cleanupBelow(filterGen.baseVersion, filterGen.deltaWaves.toSet)
     RunHandle(store, wavesRun, fetchedTotal, filterBroadcasts, maxSeenSlices,
-      robotsHintsApplied, robotsHintsWithheld, capHintsApplied, capHintsWithheld)
+      robotsHintsApplied, robotsHintsWithheld, capHintsApplied, capHintsWithheld,
+      contentHintsApplied, contentHintsWithheld)
   }
 
   /** Expire URLs — the deletion-safe-dedup flow the cuckoo variant exists
@@ -1829,9 +1992,14 @@ object CrawlDriver {
         store.read("redirects").as[RedirectRow].collect()
           .sortBy(r => (r.wave, r.canonical_url)).toSeq
       else Nil
+    val duplicates =
+      if (store.currentManifest.exists(_.tables.contains(Duplicates)))
+        store.read(Duplicates).as[DuplicateRow].collect()
+          .sortBy(d => (d.wave, d.canonical_url)).toSeq
+      else Nil
     val traceOrder = trace.map(_.canonical_url).zipWithIndex.toMap
     CrawlResult(trace, seen,
       docs.sortBy(d => traceOrder.getOrElse(d.doc_id, Int.MaxValue)), errors,
-      redirects)
+      redirects, duplicates)
   }
 }

@@ -16,7 +16,8 @@ case class WaveTotals(
     redirected: Long = 0L,
     depth_capped: Long = 0L,
     scope_filtered: Long = 0L,
-    host_capped: Long = 0L)
+    host_capped: Long = 0L,
+    content_dup: Long = 0L)
 
 /** Sequential, Spark-free oracle crawler — the BINDING semantics
   * (SURVEY.md §1.4; the reference mount is empty, so this deterministic
@@ -74,7 +75,18 @@ case class WaveTotals(
   *     their admissions count toward it; counts persist across
   *     [[runPhased]] phases (the engine rebuilds them from seen on
   *     resume, capped or not).
-  * 11. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
+  * 11. CONTENT-SEEN dedup ([[CrawlConfig.contentDedup]], the Mercator
+  *     anti-mirror guard): each SUCCESSFUL fetch fingerprints its span
+  *     sequence ([[ContentHash.ofSpans]]); a fingerprint's owner is the
+  *     first URL fetched with it. A later fetch matching a known
+  *     fingerprint is a DUPLICATE: it is traced (the fetch happened and
+  *     consumed its politeness slot, and it counts toward maxUrls), but
+  *     contributes no document, no outlinks (none of its links are
+  *     scope-checked, depth-checked, deduped or admitted), and lands in
+  *     the `duplicates` table with its owner. State persists across
+  *     [[runPhased]] phases; with the flag OFF nothing is recorded, so a
+  *     phase-2 enable dedups only against phase-2 content.
+  * 12. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
   *     (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
@@ -155,6 +167,10 @@ class RefCrawler(cfg: CrawlConfig) {
     val docs = mutable.ArrayBuffer.empty[Doc]
     val errors = mutable.ArrayBuffer.empty[ErrorRow]
     val redirects = mutable.ArrayBuffer.empty[RedirectRow]
+    val duplicates = mutable.ArrayBuffer.empty[DuplicateRow]
+    // content fingerprint -> owning URL (model point 11); persists across
+    // runPhased phases like the seen-set
+    val contentSeen = mutable.HashMap.empty[Long, String]
     val totals = mutable.ArrayBuffer.empty[WaveTotals]
     var nextSeq = 0L
     var fetchedTotal = 0L
@@ -216,6 +232,7 @@ class RefCrawler(cfg: CrawlConfig) {
       var fetchedThisWave = 0L
       var redirectedThisWave = 0L
       var filteredThisWave = 0L
+      var contentDupThisWave = 0L
       cappedInWave = 0L
       hostCappedInWave = 0L
       hostCappedUrlsInWave.clear()
@@ -224,15 +241,31 @@ class RefCrawler(cfg: CrawlConfig) {
           case Fetched(spans, rawLinks) =>
             fetchedThisWave += 1
             trace += TraceRow(wave, fetchedThisWave, e.host, e.canonical_url)
-            docs += Doc(e.canonical_url, spans)
-            rawLinks.foreach { raw =>
-              val c = CanonicalUrl.resolve(e.canonical_url, raw)
-              // scope filter FIRST (before the depth cap and seen check):
-              // an out-of-scope link never enters the crawl at all
-              if (!cur.scope.allows(c)) filteredThisWave += 1
-              else {
-                val (d, dd, dn) = admit(c, e.depth + 1)
-                discovered += d; deduped += dd; denied += dn
+            // content-seen test (model point 11): a duplicate is traced —
+            // the fetch happened — but stores no doc and follows no links
+            val dup = cur.contentDedup && {
+              val ch = ContentHash.ofSpans(spans)
+              contentSeen.get(ch) match {
+                case Some(owner) =>
+                  duplicates += DuplicateRow(wave, e.canonical_url, e.host, owner, ch)
+                  contentDupThisWave += 1
+                  true
+                case None =>
+                  contentSeen.update(ch, e.canonical_url)
+                  false
+              }
+            }
+            if (!dup) {
+              docs += Doc(e.canonical_url, spans)
+              rawLinks.foreach { raw =>
+                val c = CanonicalUrl.resolve(e.canonical_url, raw)
+                // scope filter FIRST (before the depth cap and seen check):
+                // an out-of-scope link never enters the crawl at all
+                if (!cur.scope.allows(c)) filteredThisWave += 1
+                else {
+                  val (d, dd, dn) = admit(c, e.depth + 1)
+                  discovered += d; deduped += dd; denied += dn
+                }
               }
             }
           case TransientFetchError =>
@@ -261,7 +294,7 @@ class RefCrawler(cfg: CrawlConfig) {
       fetchedTotal += fetchedThisWave
       totals += WaveTotals(wave, fetchedThisWave, discovered, deduped, denied,
         deferred.toLong, redirectedThisWave, cappedInWave, filteredThisWave,
-        hostCappedInWave)
+        hostCappedInWave, contentDupThisWave)
       wave += 1
       if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
         cur = cfg2
@@ -274,6 +307,7 @@ class RefCrawler(cfg: CrawlConfig) {
 
     (CrawlResult(trace.toSeq, seen.toSet, docs.toSeq,
       errors.sortBy(e => (e.wave, e.canonical_url)).toSeq,
-      redirects.sortBy(r => (r.wave, r.canonical_url)).toSeq), totals.toSeq)
+      redirects.sortBy(r => (r.wave, r.canonical_url)).toSeq,
+      duplicates.sortBy(d => (d.wave, d.canonical_url)).toSeq), totals.toSeq)
   }
 }

@@ -47,7 +47,17 @@ object SyntheticWeb {
                          * need resolution/canonicalization, and may itself
                          * redirect (chains arise organically).
                          */
-                       redirectPct: Int = 0)
+                       redirectPct: Int = 0,
+                       /** >0: page CONTENT (the span sequence) derives not
+                         * from the URL but from a hash-collapsed content
+                         * key with this many distinct values — URLs
+                         * sharing a key serve bit-identical spans while
+                         * keeping their own (url-derived) outlinks, the
+                         * mirror-site shape content-seen dedup exists for.
+                         * 0 (default): content is url-unique, exactly the
+                         * pre-existing byte stream.
+                         */
+                       dupContentGroups: Int = 0)
 
   /** Deterministic fetch outcome with hash-derived failure injection: a
     * pure function of (url, attempt, cfg), identical in the sequential
@@ -126,13 +136,20 @@ object SyntheticWeb {
   def fetchParse(url: String, cfg: WebConfig): (IndexedSeq[Span], IndexedSeq[String]) = {
     if (cfg.parseWorkIters > 0 && spinWork(h(url), cfg.parseWorkIters) == 42L)
       throw new IllegalStateException("unreachable") // consume the spin value
-    val nSpans = 2 + fm(h(url + "|page"), 7) // 2..8
+    // content seed: the URL itself, unless dupContentGroups collapses the
+    // content space (mirror injection) — links below always derive from
+    // the URL, so mirrors link differently, which is exactly what makes
+    // "duplicates contribute no outlinks" observable
+    val cs =
+      if (cfg.dupContentGroups > 0) "ckey|" + fm(h(url + "|ckey"), cfg.dupContentGroups)
+      else url
+    val nSpans = 2 + fm(h(cs + "|page"), 7) // 2..8
     val spans = (0 until nSpans).map { i =>
-      val hi = h(url + "|span|" + i)
+      val hi = h(cs + "|span|" + i)
       if (i % 2 == 0) {
         val nWords = 3 + fm(hi, 8) // 3..10
         val words = (0 until nWords).map { j =>
-          wordPool(fm(h(url + "|w|" + i + "|" + j), wordPool.length))
+          wordPool(fm(h(cs + "|w|" + i + "|" + j), wordPool.length))
         }
         Span("text", words.mkString(" "), null, i)
       } else {

@@ -68,6 +68,29 @@ object RobotsEval {
     rules.groupBy(_.host)
 }
 
+/** Order-sensitive fingerprint of a parsed page's span sequence — the
+  * CONTENT-SEEN key (the Mercator content-seen test's document hash). One
+  * shared definition so the sequential oracle and every executor compute
+  * the identical 64-bit value; two pages are "the same content" iff their
+  * (kind, text, media_ref, offset) span sequences are equal, which is
+  * exactly the per-row equality invariant the crawl contract pins.
+  */
+object ContentHash {
+  def ofSpans(spans: Seq[Span]): Long = {
+    // \u0001/\u0003 = field/record separators, \u0002 = null sentinel --
+    // control characters no parsed span text contains, so the
+    // serialization is injective on the compared fields
+    val sb = new java.lang.StringBuilder(128)
+    spans.foreach { s =>
+      sb.append(s.kind).append('\u0001')
+        .append(if (s.text == null) "\u0002" else s.text).append('\u0001')
+        .append(if (s.media_ref == null) "\u0002" else s.media_ref).append('\u0001')
+        .append(s.offset).append('\u0003')
+    }
+    graft.util.XxHash64.hashString(sb.toString)
+  }
+}
+
 /** Per-wave, per-partition lineage + fetch/parse metrics (north_rule:
   * snapshots carry per-partition lineage and fetch/parse metrics).
   */
@@ -263,7 +286,21 @@ case class CrawlConfig(
       * is derivable from the seen-set (|seen per host|), so resume
       * rebuilds it — including admissions from earlier UNCAPPED runs.
       */
-    maxUrlsPerHost: Long = Long.MaxValue) {
+    maxUrlsPerHost: Long = Long.MaxValue,
+    /** CONTENT-SEEN dedup (the Mercator content-seen test, the anti-mirror
+      * guard): a successful fetch whose span-sequence fingerprint
+      * ([[ContentHash.ofSpans]]) was already seen at another URL is a
+      * DUPLICATE — it consumed its politeness slot and is traced (it was
+      * fetched), but contributes NO document and NO outlinks (a mirror
+      * site adds zero frontier growth), and is recorded in the
+      * `duplicates` alias table with the owning URL. The owner of a
+      * fingerprint is the first URL fetched with it (within a wave: first
+      * in frontier order). Content-seen state persists in the
+      * `content_seen` table and rebuilds on resume; runs started with the
+      * flag OFF record no fingerprints, so enabling it at resume dedups
+      * only against content fetched from that point on.
+      */
+    contentDedup: Boolean = false) {
   require(maxDepth >= 0, "maxDepth must be >= 0 (seeds are depth 0)")
   require(maxUrlsPerHost >= 0, "maxUrlsPerHost must be >= 0")
   /** The fetch implementation; engine and oracle share it. */
@@ -291,6 +328,17 @@ case class CrawlConfig(
 case class RedirectRow(wave: Int, canonical_url: String, host: String,
                        target_url: String)
 
+/** One content-duplicate fetch ([[CrawlConfig.contentDedup]]):
+  * `canonical_url` was fetched at `wave` and its span fingerprint
+  * `content_hash` matched content first fetched at `dup_of`. The
+  * materialized content-ALIAS edge list (complementing the redirects
+  * URL-alias list): downstream dedup can collapse mirror clusters without
+  * re-hashing the docs table.
+  */
+case class DuplicateRow(wave: Int, canonical_url: String, host: String,
+                        dup_of: String, content_hash: Long)
+
 case class CrawlResult(trace: Seq[TraceRow], seen: Set[String], docs: Seq[Doc],
                        errors: Seq[ErrorRow] = Nil,
-                       redirects: Seq[RedirectRow] = Nil)
+                       redirects: Seq[RedirectRow] = Nil,
+                       duplicates: Seq[DuplicateRow] = Nil)

@@ -6,10 +6,13 @@ import graft.functions.CanonicalUrl
 /** CLI smoke surface for the crawl semantics: runs the sequential oracle
   * and the Spark engine on a small deterministic web and prints a summary.
   * Usage:
-  *   sbt "runMain graft.tools.CrawlDemo [nSeeds] [budget] [maxWaves] [fetchRobots]"
+  *   sbt "runMain graft.tools.CrawlDemo [nSeeds] [budget] [maxWaves] [fetchRobots] [dupGroups]"
   * With fetchRobots=true the crawl ACQUIRES robots rules itself (fetches
   * each host's robots.txt through the PageFetcher on first encounter)
   * instead of receiving a rule fixture — results must be identical.
+  * dupGroups>0 collapses the synthetic content space to that many distinct
+  * page bodies (mirror injection) and turns CONTENT-SEEN dedup on —
+  * duplicate fetches are traced but store no doc and follow no links.
   */
 object CrawlDemo {
   def main(args: Array[String]): Unit = {
@@ -17,7 +20,9 @@ object CrawlDemo {
     val budget = if (args.length > 1) args(1).toInt else 2
     val maxWaves = if (args.length > 2) args(2).toInt else 100
     val fetchRobots = args.length > 3 && args(3).toBoolean
-    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30)
+    val dupGroups = if (args.length > 4) args(4).toInt else 0
+    val web = SyntheticWeb.WebConfig(hosts = 8, pagesPerHost = 30,
+      dupContentGroups = dupGroups)
     // robots rules via the full text path: synthesized robots.txt -> parser
     // (fetch mode passes NO rules — the crawl acquires them per host)
     val robots =
@@ -26,11 +31,14 @@ object CrawlDemo {
         .flatMap { case (h, txt) => graft.functions.RobotsTxt.parse(h, txt).rules }
         .toSeq.sortBy(r => (r.host, r.rule_order))
     val cfg = CrawlConfig(SyntheticWeb.seedUrls(nSeeds, web), budget, maxWaves,
-      web = web, robots = robots, fetchRobotsTxt = fetchRobots)
+      web = web, robots = robots, fetchRobotsTxt = fetchRobots,
+      contentDedup = dupGroups > 0)
     if (fetchRobots) println("[demo] robots mode: ACQUIRED by the crawl (fetchRobotsTxt)")
+    if (dupGroups > 0)
+      println(s"[demo] content-seen dedup ON (mirror web: $dupGroups distinct bodies)")
     val (res, totals) = new RefCrawler(cfg).run()
     println(s"[oracle] waves=${totals.size} fetched=${res.trace.size} " +
-      s"seen=${res.seen.size} docs=${res.docs.size}")
+      s"seen=${res.seen.size} docs=${res.docs.size} dups=${res.duplicates.size}")
     totals.take(5).foreach(t => println(s"[oracle] $t"))
     res.trace.take(5).foreach(t => println(s"[oracle] trace $t"))
     val hosts = res.seen.groupBy(CanonicalUrl.host).map { case (h, s) => h -> s.size }
@@ -52,10 +60,11 @@ object CrawlDemo {
     val secs = (System.nanoTime() - t0) / 1e9
     val er = CrawlDriver.result(spark, root)
     println(f"[engine] waves=${handle.wavesRun} fetched=${er.trace.size} " +
-      f"seen=${er.seen.size} docs=${er.docs.size} secs=$secs%.1f " +
-      f"urls_per_sec=${er.trace.size / secs}%.1f")
+      f"seen=${er.seen.size} docs=${er.docs.size} dups=${er.duplicates.size} " +
+      f"secs=$secs%.1f urls_per_sec=${er.trace.size / secs}%.1f")
     val ok = er.trace == res.trace && er.seen == res.seen &&
-      er.docs.map(d => (d.doc_id, d.spans)) == res.docs.map(d => (d.doc_id, d.spans))
+      er.docs.map(d => (d.doc_id, d.spans)) == res.docs.map(d => (d.doc_id, d.spans)) &&
+      er.duplicates == res.duplicates
     println(s"[engine] oracle-equal=$ok store=$root")
 
     // snapshot maintenance demo: compact the append-accumulated seen table

@@ -7,10 +7,14 @@ import org.apache.spark.sql.SparkSession
   * (one warm + one timed run per mode, one shared session) — for iterating
   * on a single mode without paying the full Bench scaling matrix.
   * Usage: sbt "runMain graft.tools.CrawlModeBench [cores] [parseIters] [mode ...]"
-  * Modes: fixture | fetch | table | scale | scale-table | hostcap
+  * Modes: fixture | fetch | table | scale | scale-table | hostcap | cdup
   * (hostcap = fixture + a maxUrlsPerHost high enough to never bind: the
   * full cap machinery — per-host window, counts join, chained checkpoint —
-  * runs every wave, so fixture-vs-hostcap is its pure overhead.)
+  * runs every wave, so fixture-vs-hostcap is its pure overhead. cdup =
+  * fixture + contentDedup on the unique-content web: no fingerprint ever
+  * matches, but every success is hashed, window-ranked, state-joined and
+  * appended to content_seen — the WORST case for state growth and the
+  * pure overhead of the content-seen machinery.)
   */
 object CrawlModeBench {
   def main(args: Array[String]): Unit = {
@@ -35,6 +39,7 @@ object CrawlModeBench {
     def engOf(mode: String): (CrawlDriver.EngineConfig, Boolean) = mode match {
       case "fixture"     => (CrawlDriver.EngineConfig(), false)
       case "hostcap"     => (CrawlDriver.EngineConfig(), false)
+      case "cdup"        => (CrawlDriver.EngineConfig(), false)
       case "fetch"       => (CrawlDriver.EngineConfig(), true)
       case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
       case "scale"       => (CrawlDriver.EngineConfig(filterDistribution = "lazy",
@@ -47,7 +52,9 @@ object CrawlModeBench {
     modes.foreach { m =>
       val (eng, fetch) = engOf(m)
       def withCap(c: CrawlConfig): CrawlConfig =
-        if (m == "hostcap") c.copy(maxUrlsPerHost = 1L << 40) else c
+        if (m == "hostcap") c.copy(maxUrlsPerHost = 1L << 40)
+        else if (m == "cdup") c.copy(contentDedup = true)
+        else c
       // warm (small), then timed (the Bench wide-wave regime)
       CrawlDriver.run(spark, withCap(cfgOf(101, 2000, 5000, fetch)),
         java.nio.file.Files.createTempDirectory("cmb-warm").toString, eng)

@@ -24,5 +24,6 @@ object CrawlTestUtil {
     }
     assert(engine.errors === oracle.errors, "errors table differs")
     assert(engine.redirects === oracle.redirects, "redirects table differs")
+    assert(engine.duplicates === oracle.duplicates, "duplicates table differs")
   }
 }
