@@ -93,6 +93,17 @@ object CrawlDriver {
         * output. */
       robotsBroadcastMaxRows: Long = 1L << 20,
       compactPendingEvery: Int = 8,
+      /** cfg.contentDedup state distribution. "state": the (fingerprint ->
+        * owner) registry chains wave-to-wave through eagerly-materialized
+        * localCheckpoints — right at sandbox scale, but the registry is
+        * DOCS-sized (one row per distinct content ever fetched), so at
+        * 10^10 it cannot live in block-manager memory. "store": each wave
+        * scans the snapshot store's shard-clustered `content_seen` table
+        * with a shard IN-filter pruned to the bands this wave's
+        * fingerprints touch (pushed to parquet) — the same shape as
+        * `seenStorage="store"`; no registry bytes resident between waves.
+        * Strategy-only: never changes output (EQ-asserted). */
+      contentStorage: String = "state",
       /** Seed lists at or below this size ingest on the driver (canonicalize
         * + first-occurrence dedup over a local collection — cheap, and the
         * wave-0 plans stay LocalRelations). Above it, run() switches to the
@@ -338,8 +349,12 @@ object CrawlDriver {
   // cluster by a hash band for pruned scans exactly like the seen table.
   private val ContentSeen = "content_seen"
   private val Duplicates = "duplicates"
+  // rows are clustered by `shard` = pmod(content_hash, bloomShards) on
+  // write, so the store-mode per-wave check scans only the bands the
+  // wave's fingerprints touch (filter pushed to parquet row groups) —
+  // the same layout discipline as the URL-seen table
   private def contentSeenSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "content_hash BIGINT, canonical_url STRING, wave INT")
+    "content_hash BIGINT, canonical_url STRING, wave INT, shard INT")
   private def contentStateSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "__chash BIGINT, __owner STRING")
   private def robotsRulesSchema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -1100,8 +1115,9 @@ object CrawlDriver {
     // size stats); past the bound the join shuffles on content_hash — the
     // docs-sized-dimension regime.
     val cdupActive = cfg.contentDedup
+    val contentStore = cdupActive && eng.contentStorage == "store"
     var contentSeenState: DataFrame =
-      if (!cdupActive) null
+      if (!cdupActive || contentStore) null // store mode scans per wave
       else if (fast.isEmpty &&
         store.currentManifest.exists(_.tables.contains(ContentSeen)))
         store.read(ContentSeen)
@@ -1328,69 +1344,7 @@ object CrawlDriver {
           .select(lit(wave).as("wave"), ($"__seq0" + 1L).as("seq"), $"host", $"canonical_url")
           .as[TraceRow]
 
-        // ---- content-seen dedup tagging (cfg.contentDedup, oracle model
-        // point 11): fingerprint-match each SUCCESS against the
-        // content-seen state (cross-wave owner wins) and within the wave
-        // (first in frontier order wins — the same total order the trace
-        // uses, so the in-wave owner is the earlier-traced page). LIGHT
-        // columns only: spans never ride the content_hash window shuffle;
-        // the state join follows the standard driver-tracked broadcast-
-        // hint-or-shuffle policy. Duplicates keep their trace row (the
-        // fetch happened and consumed its politeness slot) but contribute
-        // no doc and no candidates below.
-        val contentTagged: Option[DataFrame] =
-          if (!cdupActive) None
-          else {
-            val cwin = Window.partitionBy($"__chash")
-              .orderBy($"priority", $"discovery_time", $"canonical_url")
-            Some(fetched.select($"canonical_url", $"host", $"priority",
-                $"discovery_time", $"depth", $"links", $"__nfilt", $"__chash")
-              .withColumn("__crk", row_number().over(cwin))
-              .withColumn("__cfirst", first($"canonical_url").over(cwin))
-              .join(hintContent(contentSeenState), Seq("__chash"), "left")
-              .withColumn("__dup_of",
-                coalesce($"__owner", when($"__crk" > 1, $"__cfirst")))
-              .cache())
-          }
-
-        // ---- outlink candidates with (source-page frontier keys,
-        // link_idx) provenance — exactly the oracle's admission order
-        // (successful pages in frontier order, links in document order),
-        // without joining the trace numbering back in. Redirect rows bear
-        // their Location target as link 0 — the target enters discovery at
-        // the source's frontier position, same as the oracle. Depth cap:
-        // a source at maxDepth contributes NO candidates (all its links
-        // would land at depth+1 > maxDepth) — a coarse per-source filter
-        // BEFORE the explode and dedup chain, so capped URLs never enter
-        // the seen-set and a later shallower path can still admit them.
-        // (Coalesced off the fine-grained parse blocks: the dedup chain is
-        // cheap per row — 8x-cores task granularity would be pure overhead.)
         val maxDepthL = cfg.maxDepth.toLong
-        val candSrc: DataFrame = contentTagged match {
-          case None =>
-            outcomes.filter($"status".isin("ok", "redirect") &&
-              $"depth".cast("long") + 1L <= maxDepthL)
-          case Some(t) =>
-            // content duplicates contribute no candidates (their links are
-            // never explored); redirect rows are content-free and keep
-            // their single Location link
-            val c = Seq($"canonical_url", $"priority", $"discovery_time",
-              $"depth", $"links")
-            t.filter($"__dup_of".isNull).select(c: _*)
-              .unionByName(outcomes.filter($"status" === "redirect").select(c: _*))
-              .filter($"depth".cast("long") + 1L <= maxDepthL)
-        }
-        val candidates = candSrc
-          .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
-          .select($"priority".as("src_pri"), $"discovery_time".as("src_dt"),
-            $"canonical_url".as("src_url"), $"depth",
-            posexplode_outer($"links").as(Seq("link_idx", "url")))
-          .filter($"url".isNotNull)
-          .withColumn("host", udf((u: String) => CanonicalUrl.host(u)).apply($"url"))
-          .withColumn("host_hash", xxhash64($"host"))
-          .select($"url".as("canonical_url"), $"host", $"host_hash",
-            ($"depth" + 1).as("depth"), $"src_pri", $"src_dt", $"src_url", $"link_idx")
-
         val tFetch0 = System.nanoTime()
         // one job over the cached fetch output: per-partition fetch lineage
         // counts, the candidate-link total, and the failure/requeue totals
@@ -1424,6 +1378,82 @@ object CrawlDriver {
         val redirectedTotal = fetchStats.map(_._7).sum
         val cappedTotal = fetchStats.map(_._8).sum
         val filteredTotal = fetchStats.map(_._9).sum
+
+        // transient failures with attempts left re-enter the frontier with
+        // the SAME ordering keys and attempts+1 (they compete under the
+        // host budget again in later waves); exhausted/permanent failures
+        // become error rows — in seen, never fetched again
+        val retryable = $"status" === "transient" && $"attempts" + 1 < maxAtt
+        val requeued = outcomes.filter(retryable)
+          .withColumn("attempts", ($"attempts" + 1).cast("int"))
+          .select(fcolsF: _*)
+        // the URL-alias edge list: every followed redirect, target in
+        // resolved absolute form (recorded regardless of the target's
+        // admission outcome — see [[RedirectRow]])
+        val redirectRows = outcomes.filter($"status" === "redirect")
+          .select(lit(wave).as("wave"), $"canonical_url", $"host",
+            $"__rtarget".as("target_url"))
+        val errorRows = outcomes
+          .filter(!$"status".isin("ok", "redirect") && !retryable)
+          .select(lit(wave).as("wave"), $"canonical_url", $"host",
+            when($"status" === "permanent", lit("permanent"))
+              .otherwise(lit("transient_exhausted")).as("kind"),
+            ($"attempts" + 1).cast("int").as("attempts"))
+
+        // the previous wave's commit + bloom delta must land before the
+        // bloom probe below (a stale bloom could answer "definitely new"
+        // for a URL admitted last wave — a false negative) AND before the
+        // content-seen check (store mode reads the content_seen table,
+        // which must cover last wave's fingerprints); the selection and
+        // fetch stages above overlapped with that write.
+        awaitInFlight()
+
+        // ---- content-seen dedup tagging (cfg.contentDedup, oracle model
+        // point 11): fingerprint-match each SUCCESS against the
+        // content-seen registry (cross-wave owner wins) and within the
+        // wave (first in frontier order wins — the same total order the
+        // trace uses, so the in-wave owner is the earlier-traced page).
+        // LIGHT columns only: spans never ride the content_hash window
+        // shuffle; the registry join follows the standard driver-tracked
+        // broadcast-hint-or-shuffle policy. Duplicates keep their trace
+        // row (the fetch happened and consumed its politeness slot) but
+        // contribute no doc and no candidates below.
+        val contentTagged: Option[DataFrame] =
+          if (!cdupActive) None
+          else {
+            // cross-wave registry: chained in-memory state, or (store
+            // mode, the 10^10 path) a scan of the shard-clustered
+            // content_seen table pruned to the bands this wave's
+            // fingerprints touch — the awaitInFlight above means the
+            // table covers every prior wave, so no in-flight delta arm
+            val stateDf =
+              if (!contentStore) contentSeenState
+              else {
+                val active = fetched
+                  .select(pmod($"__chash", lit(nsh.toLong)).cast("int").as("s"))
+                  .distinct().as[Int].collect()
+                val base =
+                  if (store.currentManifest.exists(_.tables.contains(ContentSeen)))
+                    store.read(ContentSeen)
+                  else emptyDf(spark, contentSeenSchema)
+                val pruned =
+                  if (active.length < nsh)
+                    base.filter($"shard".isin(active.map(Integer.valueOf): _*))
+                  else base
+                pruned.select($"content_hash".as("__chash"),
+                  $"canonical_url".as("__owner"))
+              }
+            val cwin = Window.partitionBy($"__chash")
+              .orderBy($"priority", $"discovery_time", $"canonical_url")
+            Some(fetched.select($"canonical_url", $"host", $"priority",
+                $"discovery_time", $"depth", $"links", $"__nfilt", $"__chash")
+              .withColumn("__crk", row_number().over(cwin))
+              .withColumn("__cfirst", first($"canonical_url").over(cwin))
+              .join(hintContent(stateDf), Seq("__chash"), "left")
+              .withColumn("__dup_of",
+                coalesce($"__owner", when($"__crk" > 1, $"__cfirst")))
+              .cache())
+          }
 
         // content-dup totals + the dup rows' already-counted link
         // contributions (one tiny agg over the cached tagging): a
@@ -1465,32 +1495,42 @@ object CrawlDriver {
         }).coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
           .as[Doc]
 
-        // transient failures with attempts left re-enter the frontier with
-        // the SAME ordering keys and attempts+1 (they compete under the
-        // host budget again in later waves); exhausted/permanent failures
-        // become error rows — in seen, never fetched again
-        val retryable = $"status" === "transient" && $"attempts" + 1 < maxAtt
-        val requeued = outcomes.filter(retryable)
-          .withColumn("attempts", ($"attempts" + 1).cast("int"))
-          .select(fcolsF: _*)
-        // the URL-alias edge list: every followed redirect, target in
-        // resolved absolute form (recorded regardless of the target's
-        // admission outcome — see [[RedirectRow]])
-        val redirectRows = outcomes.filter($"status" === "redirect")
-          .select(lit(wave).as("wave"), $"canonical_url", $"host",
-            $"__rtarget".as("target_url"))
-        val errorRows = outcomes
-          .filter(!$"status".isin("ok", "redirect") && !retryable)
-          .select(lit(wave).as("wave"), $"canonical_url", $"host",
-            when($"status" === "permanent", lit("permanent"))
-              .otherwise(lit("transient_exhausted")).as("kind"),
-            ($"attempts" + 1).cast("int").as("attempts"))
-
-        // the previous wave's commit + bloom delta must land before the
-        // bloom probe below (a stale bloom could answer "definitely new"
-        // for a URL admitted last wave — a false negative); the selection
-        // and fetch stages above overlapped with that write.
-        awaitInFlight()
+        // ---- outlink candidates with (source-page frontier keys,
+        // link_idx) provenance — exactly the oracle's admission order
+        // (successful pages in frontier order, links in document order),
+        // without joining the trace numbering back in. Redirect rows bear
+        // their Location target as link 0 — the target enters discovery at
+        // the source's frontier position, same as the oracle. Depth cap:
+        // a source at maxDepth contributes NO candidates (all its links
+        // would land at depth+1 > maxDepth) — a coarse per-source filter
+        // BEFORE the explode and dedup chain, so capped URLs never enter
+        // the seen-set and a later shallower path can still admit them.
+        // (Coalesced off the fine-grained parse blocks: the dedup chain is
+        // cheap per row — 8x-cores task granularity would be pure overhead.)
+        val candSrc: DataFrame = contentTagged match {
+          case None =>
+            outcomes.filter($"status".isin("ok", "redirect") &&
+              $"depth".cast("long") + 1L <= maxDepthL)
+          case Some(t) =>
+            // content duplicates contribute no candidates (their links are
+            // never explored); redirect rows are content-free and keep
+            // their single Location link
+            val c = Seq($"canonical_url", $"priority", $"discovery_time",
+              $"depth", $"links")
+            t.filter($"__dup_of".isNull).select(c: _*)
+              .unionByName(outcomes.filter($"status" === "redirect").select(c: _*))
+              .filter($"depth".cast("long") + 1L <= maxDepthL)
+        }
+        val candidates = candSrc
+          .coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
+          .select($"priority".as("src_pri"), $"discovery_time".as("src_dt"),
+            $"canonical_url".as("src_url"), $"depth",
+            posexplode_outer($"links").as(Seq("link_idx", "url")))
+          .filter($"url".isNotNull)
+          .withColumn("host", udf((u: String) => CanonicalUrl.host(u)).apply($"url"))
+          .withColumn("host_hash", xxhash64($"host"))
+          .select($"url".as("canonical_url"), $"host", $"host_hash",
+            ($"depth" + 1).as("depth"), $"src_pri", $"src_dt", $"src_url", $"link_idx")
 
         // ---- D1/D2: first-occurrence dedup across the wave (covers in-page):
         // keep the (source frontier keys, link_idx)-minimal sighting per
@@ -1773,7 +1813,10 @@ object CrawlDriver {
           if (fetchedThisWave - contentDupTotal > 0)
             commitBuilder.append(ContentSeen, t.filter($"__dup_of".isNull)
               .select($"__chash".as("content_hash"), $"canonical_url",
-                lit(wave).as("wave")))
+                lit(wave).as("wave"),
+                pmod($"__chash", lit(nsh.toLong)).cast("int").as("shard"))
+              // clustered by hash band so the store-mode check prunes
+              .repartition(col("shard")).sortWithinPartitions("shard"))
         }
         commitBuilder
           .append("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
@@ -1850,13 +1893,19 @@ object CrawlDriver {
         // fold this wave's new fingerprints into the content-seen state and
         // re-checkpoint, same eager-materialization discipline (and exact
         // broadcast-hint bound) as the host-cap counts above
-        val supersededContent = if (cdupActive) List(contentSeenState) else Nil
-        if (cdupActive) {
+        val supersededContent =
+          if (cdupActive && !contentStore) List(contentSeenState) else Nil
+        if (cdupActive && !contentStore) {
           contentSeenState = contentSeenState
             .unionByName(contentTagged.get.filter($"__dup_of".isNull)
               .select($"__chash", $"canonical_url".as("__owner")))
             .localCheckpoint(false)
           contentRowsApprox = math.max(1L, contentSeenState.count())
+        } else if (cdupActive) {
+          // store mode keeps no resident state: the registry grew by this
+          // wave's new fingerprints (pure arithmetic — every success is
+          // either a dup or a new owner)
+          contentRowsApprox += math.max(0L, fetchedThisWave - contentDupTotal)
         }
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++
           capTagged ++ contentTagged
@@ -1934,6 +1983,12 @@ object CrawlDriver {
     * already carries per-version dir lists), and an in-flight long crawl
     * deletes from the broadcast ShardedCuckoo directly — the operation a
     * bloom filter cannot support.
+    *
+    * The CONTENT-SEEN registry is deliberately NOT expired: it tracks
+    * content, not URLs — a re-fetch of an expired URL whose content is
+    * unchanged records a duplicate (dup_of = its own earlier fetch, whose
+    * doc row the docs table still holds) rather than storing the content
+    * twice.
     */
   /** Above this many targets the expiry filters switch from IN-list
     * literals (cheap, no shuffle, but each row compares against every

@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
   * on a single mode without paying the full Bench scaling matrix.
   * Usage: sbt "runMain graft.tools.CrawlModeBench [cores] [parseIters] [mode ...]"
   * Modes: fixture | fetch | table | scale | scale-table | hostcap | cdup
+  * | cdup-store (cdup with contentStorage="store": the registry scanned
+  * shard-pruned from the content_seen table each wave, never resident)
   * (hostcap = fixture + a maxUrlsPerHost high enough to never bind: the
   * full cap machinery — per-host window, counts join, chained checkpoint —
   * runs every wave, so fixture-vs-hostcap is its pure overhead. cdup =
@@ -40,6 +42,7 @@ object CrawlModeBench {
       case "fixture"     => (CrawlDriver.EngineConfig(), false)
       case "hostcap"     => (CrawlDriver.EngineConfig(), false)
       case "cdup"        => (CrawlDriver.EngineConfig(), false)
+      case "cdup-store"  => (CrawlDriver.EngineConfig(contentStorage = "store"), false)
       case "fetch"       => (CrawlDriver.EngineConfig(), true)
       case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
       case "scale"       => (CrawlDriver.EngineConfig(filterDistribution = "lazy",
@@ -53,7 +56,7 @@ object CrawlModeBench {
       val (eng, fetch) = engOf(m)
       def withCap(c: CrawlConfig): CrawlConfig =
         if (m == "hostcap") c.copy(maxUrlsPerHost = 1L << 40)
-        else if (m == "cdup") c.copy(contentDedup = true)
+        else if (m == "cdup" || m == "cdup-store") c.copy(contentDedup = true)
         else c
       // warm (small), then timed (the Bench wide-wave regime)
       CrawlDriver.run(spark, withCap(cfgOf(101, 2000, 5000, fetch)),

@@ -112,16 +112,26 @@ class ContentDedupSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
-    // full 10^10 engine config, killed after wave 2 and resumed: the
+    // full 10^10 engine config — incl. contentStorage="store" (the
+    // registry is scanned shard-pruned from the content_seen table each
+    // wave, never resident) — killed after wave 2 and resumed: the
     // resumed run must dedup against phase-1 content via the table
     val eng = CrawlDriver.EngineConfig(filterDistribution = "lazy",
-      pendingStorage = "mor", seenStorage = "store", robotsStorage = "table")
+      pendingStorage = "mor", seenStorage = "store", robotsStorage = "table",
+      contentStorage = "store")
     val root = tmp()
     CrawlDriver.run(spark, cfg.copy(maxWaves = 2), root, eng)
     CrawlDriver.resume(spark, cfg, root, eng)
     val res = CrawlDriver.result(spark, root)
     assertEqualResults(o, res)
     assert(res.duplicates.exists(_.wave > 2), "no post-resume dup — fixture weak")
+
+    // store-mode registry alone (default engine otherwise): bit-equal to
+    // the chained-state run
+    val rootS = tmp()
+    CrawlDriver.run(spark, cfg, rootS,
+      CrawlDriver.EngineConfig(contentStorage = "store"))
+    assertEqualResults(o, CrawlDriver.result(spark, rootS))
   }
 
   test("dedup ENABLED AT RESUME dedups only against content fetched from " +
