@@ -17,13 +17,15 @@ import org.apache.spark.sql.SparkSession
   * Also runs the default (cached-seen, COW) config, whose slice re-rooting
   * is the machinery most exercised by frequent waves.
   *
-  * Usage: sbt "runMain graft.tools.EnduranceProbe [cores] [maxWaves] [pagesPerHost]"
+  * Usage: sbt "runMain graft.tools.EnduranceProbe [cores] [maxWaves] [pagesPerHost] [legFilter]"
+  * legFilter: run only legs whose label contains the substring.
   */
 object EnduranceProbe {
   def main(args: Array[String]): Unit = {
     val cores = if (args.length > 0) args(0).toInt else 8
     val maxWaves = if (args.length > 1) args(1).toInt else 40
     val pages = if (args.length > 2) args(2).toInt else 400
+    val legFilter = if (args.length > 3) Some(args(3)) else None
     val spark = SparkSession.builder()
       .master(s"local[$cores]").appName("endurance-probe")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -39,14 +41,20 @@ object EnduranceProbe {
       maxWaves = maxWaves, web = web, robots = Nil, fetchRobotsTxt = true)
 
     def probe(label: String, eng: CrawlDriver.EngineConfig,
-              rerootNote: String): Unit = {
+              rerootNote: String, c: CrawlConfig = cfg): Unit = {
+      if (legFilter.exists(f => !label.contains(f))) return
       val root = java.nio.file.Files.createTempDirectory(s"endur-$label").toString
       val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
       val t0 = System.nanoTime()
-      val h = CrawlDriver.run(spark, cfg, root, eng, onWaveEnd = { w =>
+      val h = CrawlDriver.run(spark, c, root, eng, onWaveEnd = { w =>
         val (used, _) = CoreShim.storageMemory(spark.sparkContext)
         samples += ((w, used))
         if (w % 5 == 0) println(f"[endurance] $label wave=$w storage_used=${used / 1e6}%.1f MB")
+        if (w % 10 == 0) {
+          val census = CoreShim.blockSummary(spark.sparkContext).toSeq.sorted
+            .map { case (k, (n, b)) => f"$k=$n(${b / 1e6}%.1f MB)" }.mkString(" ")
+          println(s"[endurance] $label wave=$w blocks: $census")
+        }
       })
       val secs = (System.nanoTime() - t0) / 1e9
       val vals = samples.map(_._2)
@@ -74,6 +82,21 @@ object EnduranceProbe {
       filterDistribution = "lazy", pendingStorage = "mor",
       seenStorage = "store", robotsStorage = "table", seqWindowMax = 0),
       "(lazy+mor+store+table, forced two-phase numbering)")
+    // content-seen dedup legs, unique-content web (worst-case registry
+    // growth: every fetch adds a fingerprint): the chained-state registry
+    // is EXPECTED to grow with total fetched content (it IS the registry
+    // — the reason store mode exists); the store-mode leg must stay flat
+    // like every other bounded-release curve
+    val cdup = cfg.copy(contentDedup = true)
+    probe("cdup-state", CrawlDriver.EngineConfig(
+      filterDistribution = "lazy", pendingStorage = "mor",
+      seenStorage = "store", robotsStorage = "table"),
+      "(registry = chained checkpoints; growth ∝ fetched content is the expected shape)",
+      c = cdup)
+    probe("cdup-store", CrawlDriver.EngineConfig(
+      filterDistribution = "lazy", pendingStorage = "mor",
+      seenStorage = "store", robotsStorage = "table", contentStorage = "store"),
+      "(registry = per-wave pruned table scan; must stay flat)", c = cdup)
     spark.stop()
   }
 }

@@ -21,4 +21,21 @@ object CoreShim {
     val max = st.values.iterator.map(_._1).sum
     (used, max)
   }
+
+  /** Resident block census by kind -> (count, memBytes): names WHAT is
+    * occupying the storage pool (rdd = cache/localCheckpoint blocks the
+    * release queues manage; broadcast = torrent pieces awaiting
+    * ContextCleaner). Diagnostic companion to [[storageMemory]] — when a
+    * high-water curve grows, this says which population is growing.
+    */
+  def blockSummary(sc: SparkContext): Map[String, (Int, Long)] = {
+    val master = sc.env.blockManager.master
+    master.getStorageStatus.iterator
+      .flatMap(_.blocks.iterator)
+      .toSeq
+      .groupBy { case (id, _) =>
+        if (id.isBroadcast) "broadcast" else if (id.isRDD) "rdd" else "other"
+      }
+      .map { case (k, v) => k -> (v.size, v.map(_._2.memSize).sum) }
+  }
 }
