@@ -77,15 +77,19 @@ object RobotsEval {
   */
 object ContentHash {
   def ofSpans(spans: Seq[Span]): Long = {
-    // \u0001/\u0003 = field/record separators, \u0002 = null sentinel --
-    // control characters no parsed span text contains, so the
-    // serialization is injective on the compared fields
+    // length-prefixed serialization: every field is rendered as
+    // "<len>,<bytes>" (null as "-1,"), records closed by ';' after the
+    // offset — unambiguous for ANY field content (parsed text may contain
+    // any character, including would-be separators), so the serialization
+    // is injective on the compared fields and hash equality means
+    // span-sequence equality up to 64-bit collision odds
     val sb = new java.lang.StringBuilder(128)
+    def f(s: String): Unit =
+      if (s == null) sb.append("-1,")
+      else sb.append(s.length).append(',').append(s)
     spans.foreach { s =>
-      sb.append(s.kind).append('\u0001')
-        .append(if (s.text == null) "\u0002" else s.text).append('\u0001')
-        .append(if (s.media_ref == null) "\u0002" else s.media_ref).append('\u0001')
-        .append(s.offset).append('\u0003')
+      f(s.kind); f(s.text); f(s.media_ref)
+      sb.append(s.offset).append(';')
     }
     graft.util.XxHash64.hashString(sb.toString)
   }

@@ -148,3 +148,37 @@ object RobotsEvalProps extends Properties("RobotsEval") {
         rules.exists(r => r.host == host && "/nomatch-xyz/deep".startsWith(r.path_prefix))
     }
 }
+
+object ContentHashProps extends Properties("ContentHash") {
+  import graft.crawl.{ContentHash, Span}
+
+  // adversarial field content: includes nulls, empties, and the characters
+  // a separator-based serialization would be ambiguous over (',', ';',
+  // control chars, digits that could fuse with a length prefix)
+  private val genField: Gen[String] = Gen.oneOf(
+    Gen.const(null: String), Gen.const(""),
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', ';', '\u0001',
+      '\u0002', '\u0003', '1', '-'))).map(_.mkString))
+  private val genSpan: Gen[Span] = for {
+    kind <- Gen.oneOf("text", "media", "", "1,", ";")
+    text <- genField
+    media <- genField
+    off <- Gen.chooseNum(-1, 20)
+  } yield Span(kind, text, media, off)
+  private val genSpans: Gen[List[Span]] = Gen.listOf(genSpan).map(_.take(6))
+
+  property("deterministic") = forAll(genSpans) { s =>
+    ContentHash.ofSpans(s) == ContentHash.ofSpans(s.map(identity))
+  }
+
+  /** The length-prefixed serialization is injective, so distinct span
+    * sequences — including ones differing only by a would-be separator
+    * character inside a field, a null-vs-empty field, or a record-boundary
+    * shift — must hash apart (a true 64-bit collision is ~2^-64 per pair;
+    * none can occur over these few hundred structured cases).
+    */
+  property("distinct span sequences hash apart") =
+    forAll(genSpans, genSpans) { (a, b) =>
+      (a == b) == (ContentHash.ofSpans(a) == ContentHash.ofSpans(b))
+    }
+}
