@@ -168,6 +168,32 @@ object CrawlDriver {
         * empty there by design. */
       robotsRows0: Option[Long] = None)
 
+  /** Driver-tracked broadcast-hint-or-withhold for an RDD-backed dimension
+    * (checkpointed/cached dims have no size stats, so Spark would SMJ the
+    * wave-sized side against them): ONE implementation so the row-bound
+    * policy and its branch counters cannot drift between the robots,
+    * host-cap-counts and content-registry dimensions. `rows` is read at
+    * call time — the driver updates the tracked bound as the dimension
+    * grows.
+    */
+  private final class DimensionHint(bound: Long, rows: () => Long)
+      extends (DataFrame => DataFrame) {
+    var applied = 0
+    var withheld = 0
+    def apply(df: DataFrame): DataFrame =
+      if (rows() <= bound) { applied += 1; broadcast(df) } else { withheld += 1; df }
+  }
+
+  /** Band-prune a shard-clustered table scan to the shards a wave actually
+    * touches (`shard` IN-filter, pushed to the parquet reader); whole scan
+    * when every band is active. Shared by the seen and content_seen
+    * store-mode reads so the pruning discipline cannot drift.
+    */
+  private def pruneShards(base: DataFrame, active: Array[Int], nsh: Int): DataFrame =
+    if (active.length < nsh)
+      base.filter(col("shard").isin(active.map(Integer.valueOf): _*))
+    else base
+
   /** Result of a wave's async filter maintenance. */
   private sealed trait FilterUpdate
   private case class NewBroadcast(f: ShardedSeenFilter) extends FilterUpdate
@@ -601,6 +627,7 @@ object CrawlDriver {
       .declare(ContentSeen, contentSeenSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
+        "shard_fan" -> eng.bloomShards.toString,
         "seeds" -> seedsCanonical.size.toString,
         "admitted" -> seedRows.size.toString,
         "next_discovery_seq" -> seedRows.size.toString,
@@ -782,6 +809,7 @@ object CrawlDriver {
       .declare(ContentSeen, contentSeenSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
+        "shard_fan" -> eng.bloomShards.toString,
         "seeds" -> nSeeds.toString,
         "admitted" -> nSeeds.toString,
         "next_discovery_seq" -> nSeeds.toString,
@@ -817,6 +845,21 @@ object CrawlDriver {
              eng: EngineConfig = EngineConfig()): RunHandle = {
     val store = new SnapshotStore(storeRoot, spark)
     require(store.currentVersion.nonEmpty, s"nothing to resume at $storeRoot")
+    // The seen/content_seen tables carry a `shard` column computed with
+    // the WRITING run's bloomShards; the store-mode scans prune on it, so
+    // resuming those modes with a different fan would silently make whole
+    // bands invisible (mirror pages re-stored, URLs re-admitted). Fail
+    // loudly instead. Non-store modes recompute pmod fresh and are fan-
+    // change-safe; stores from before this stamp carry no record (same
+    // modes, same caveat — documented).
+    for (fan <- store.currentManifest.flatMap(_.summary.get("shard_fan")).map(_.toInt)
+         if fan != eng.bloomShards)
+      require(eng.seenStorage != "store" &&
+        !(cfg.contentDedup && eng.contentStorage == "store"),
+        s"store at $storeRoot was written with bloomShards=$fan but this engine " +
+        s"has bloomShards=${eng.bloomShards}: store-mode shard pruning reads the " +
+        "persisted shard column and would silently drop bands — resume with the " +
+        "original fan")
     val configRules = RobotsEval.byHost(cfg.robots)
     var rules0 = configRules
     var budgets0 = Map.empty[String, Int]
@@ -965,12 +1008,7 @@ object CrawlDriver {
         store.read(RobotsRules).count() + store.read(RobotsHosts).count() +
           robotsBootstrapRows
       else robotsBootstrapRows
-    var robotsHintsApplied = 0
-    var robotsHintsWithheld = 0
-    def hintRobots(df: DataFrame): DataFrame =
-      if (robotsRowsApprox <= eng.robotsBroadcastMaxRows) {
-        robotsHintsApplied += 1; broadcast(df)
-      } else { robotsHintsWithheld += 1; df }
+    val hintRobots = new DimensionHint(eng.robotsBroadcastMaxRows, () => robotsRowsApprox)
 
     // Seen-filter plumbing, shared by bloom and cuckoo: the shard build is
     // an executor-side Aggregator grouped by host-hash shard — only S tiny
@@ -1096,12 +1134,7 @@ object CrawlDriver {
     // same broadcast-sanity bound as the robots dimension: the counts table
     // is host-dimension-sized, so past ~2^20 hosts the cap join must be a
     // shuffled join, not a driver-resident broadcast
-    var capHintsApplied = 0
-    var capHintsWithheld = 0
-    def hintCounts(df: DataFrame): DataFrame =
-      if (capHostsApprox <= eng.robotsBroadcastMaxRows) {
-        capHintsApplied += 1; broadcast(df)
-      } else { capHintsWithheld += 1; df }
+    val hintCounts = new DimensionHint(eng.robotsBroadcastMaxRows, () => capHostsApprox)
 
     // ---- CONTENT-SEEN state (cfg.contentDedup, oracle model point 11):
     // (fingerprint -> owning URL), chained wave-to-wave through eagerly
@@ -1132,12 +1165,7 @@ object CrawlDriver {
         store.currentManifest.exists(_.tables.contains(ContentSeen)))
         math.max(1L, store.read(ContentSeen).count())
       else 1L
-    var contentHintsApplied = 0
-    var contentHintsWithheld = 0
-    def hintContent(df: DataFrame): DataFrame =
-      if (contentRowsApprox <= eng.robotsBroadcastMaxRows) {
-        contentHintsApplied += 1; broadcast(df)
-      } else { contentHintsWithheld += 1; df }
+    val hintContent = new DimensionHint(eng.robotsBroadcastMaxRows, () => contentRowsApprox)
 
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
     // store is the durable/resume copy, written asynchronously off the
@@ -1436,12 +1464,9 @@ object CrawlDriver {
                   if (store.currentManifest.exists(_.tables.contains(ContentSeen)))
                     store.read(ContentSeen)
                   else emptyDf(spark, contentSeenSchema)
-                val pruned =
-                  if (active.length < nsh)
-                    base.filter($"shard".isin(active.map(Integer.valueOf): _*))
-                  else base
-                pruned.select($"content_hash".as("__chash"),
-                  $"canonical_url".as("__owner"))
+                pruneShards(base, active, nsh)
+                  .select($"content_hash".as("__chash"),
+                    $"canonical_url".as("__owner"))
               }
             val cwin = Window.partitionBy($"__chash")
               .orderBy($"priority", $"discovery_time", $"canonical_url")
@@ -1637,11 +1662,8 @@ object CrawlDriver {
             val activeShards = maybeSeen
               .select(pmod($"host_hash", lit(nsh.toLong)).cast("int").as("s"))
               .distinct().as[Int].collect()
-            val base = store.read("seen")
-            val pruned =
-              if (activeShards.length < nsh) base.filter($"shard".isin(activeShards.map(Integer.valueOf): _*))
-              else base
-            pruned.select($"canonical_url")
+            pruneShards(store.read("seen"), activeShards, nsh)
+              .select($"canonical_url")
           } else seenSlices.map(_.select($"canonical_url")).reduce(_ unionByName _)
         val confirmedNew = maybeSeen.join(seenTbl, Seq("canonical_url"), "left_anti")
         val newUrlsAll = definitelyNew.unionByName(confirmedNew)
@@ -1825,6 +1847,7 @@ object CrawlDriver {
           .append("metrics", metricsRows.toDF())
           .summary(
             "wave" -> wave.toString,
+            "shard_fan" -> eng.bloomShards.toString,
             "next_discovery_seq" -> nextSeq.toString,
             "fetched_total" -> fetchedTotal.toString,
             "wave_fetched" -> fetchedThisWave.toString,
@@ -1893,19 +1916,25 @@ object CrawlDriver {
         // fold this wave's new fingerprints into the content-seen state and
         // re-checkpoint, same eager-materialization discipline (and exact
         // broadcast-hint bound) as the host-cap counts above
+        // every success is either a dup or a new owner, so the wave's new
+        // fingerprint count is pure arithmetic; a zero-owner wave (all
+        // failures/redirects/duplicates) keeps the existing checkpoint —
+        // re-copying the O(registry) state for an empty union would cost
+        // an input-sized checkpoint on the wave critical path for nothing
+        val newOwnerCount = if (cdupActive) fetchedThisWave - contentDupTotal else 0L
         val supersededContent =
-          if (cdupActive && !contentStore) List(contentSeenState) else Nil
-        if (cdupActive && !contentStore) {
+          if (cdupActive && !contentStore && newOwnerCount > 0)
+            List(contentSeenState)
+          else Nil
+        if (cdupActive && !contentStore && newOwnerCount > 0) {
           contentSeenState = contentSeenState
             .unionByName(contentTagged.get.filter($"__dup_of".isNull)
               .select($"__chash", $"canonical_url".as("__owner")))
             .localCheckpoint(false)
           contentRowsApprox = math.max(1L, contentSeenState.count())
-        } else if (cdupActive) {
-          // store mode keeps no resident state: the registry grew by this
-          // wave's new fingerprints (pure arithmetic — every success is
-          // either a dup or a new owner)
-          contentRowsApprox += math.max(0L, fetchedThisWave - contentDupTotal)
+        } else if (cdupActive && contentStore) {
+          // store mode keeps no resident state: just track the growth
+          contentRowsApprox += math.max(0L, newOwnerCount)
         }
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++
           capTagged ++ contentTagged
@@ -1969,8 +1998,8 @@ object CrawlDriver {
     if (lazyFilters)
       shardStore.get.cleanupBelow(filterGen.baseVersion, filterGen.deltaWaves.toSet)
     RunHandle(store, wavesRun, fetchedTotal, filterBroadcasts, maxSeenSlices,
-      robotsHintsApplied, robotsHintsWithheld, capHintsApplied, capHintsWithheld,
-      contentHintsApplied, contentHintsWithheld)
+      hintRobots.applied, hintRobots.withheld, hintCounts.applied,
+      hintCounts.withheld, hintContent.applied, hintContent.withheld)
   }
 
   /** Expire URLs — the deletion-safe-dedup flow the cuckoo variant exists

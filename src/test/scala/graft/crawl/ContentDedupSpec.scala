@@ -171,6 +171,34 @@ class ContentDedupSpec extends AnyFunSuite {
     assertEqualResults(o, CrawlDriver.result(spark, rootW))
   }
 
+  test("resuming a store-mode crawl with a DIFFERENT bloomShards fan is " +
+    "rejected loudly — the persisted shard column would silently mis-prune " +
+    "whole bands; the same fan resumes fine and non-store modes tolerate " +
+    "the change") {
+    val web = SyntheticWeb.WebConfig(hosts = 4, pagesPerHost = 15,
+      dupContentGroups = 8)
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(6, web), budgetPerHost = 2,
+      maxWaves = 1000, web = web, contentDedup = true)
+    val root = tmp()
+    CrawlDriver.run(spark, cfg.copy(maxWaves = 1), root,
+      CrawlDriver.EngineConfig(bloomShards = 8, contentStorage = "store"))
+    assertThrows[IllegalArgumentException] {
+      CrawlDriver.resume(spark, cfg, root,
+        CrawlDriver.EngineConfig(bloomShards = 4, contentStorage = "store"))
+    }
+    assertThrows[IllegalArgumentException] {
+      CrawlDriver.resume(spark, cfg, root,
+        CrawlDriver.EngineConfig(bloomShards = 4, seenStorage = "store"))
+    }
+    CrawlDriver.resume(spark, cfg, root,
+      CrawlDriver.EngineConfig(bloomShards = 8, contentStorage = "store"))
+    val (o, _) = new RefCrawler(cfg).run()
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+    // a fan change in the non-store modes recomputes pmod fresh — allowed
+    CrawlDriver.resume(spark, cfg, root, CrawlDriver.EngineConfig(bloomShards = 4))
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
   test("flag off: mirror-injected web crawls identically to the pre-dedup " +
     "engine — empty duplicates table, mirrored docs all stored") {
     val web = SyntheticWeb.WebConfig(hosts = 5, pagesPerHost = 20,
