@@ -143,7 +143,11 @@ object CrawlDriver {
                        /** content-seen state join: same applied/withheld
                          * accounting for the fingerprint dimension. */
                        contentHintsApplied: Int = 0,
-                       contentHintsWithheld: Int = 0)
+                       contentHintsWithheld: Int = 0,
+                       /** host-backoff state joins: same applied/withheld
+                         * accounting for the health dimension. */
+                       healthHintsApplied: Int = 0,
+                       healthHintsWithheld: Int = 0)
 
   /** run()-path a-priori initial state: hints + the deferred wave-0 commit
     * (committed asynchronously on the inFlight rail, awaited before the
@@ -375,6 +379,17 @@ object CrawlDriver {
   // cluster by a hash band for pruned scans exactly like the seen table.
   private val ContentSeen = "content_seen"
   private val Duplicates = "duplicates"
+
+  // ---- host-backoff layout (cfg.hostBackoff) ------------------------------
+  // `host_health` is append-only and WAVE-STAMPED like the robots tables:
+  // one row per (host, wave) whose backoff state CHANGED that wave —
+  // (consecutive transient failures, quarantined-through wave). Resolution
+  // is LATEST-WAVE-WINS per host; hosts with no row (the overwhelmingly
+  // common case — healthy hosts never append) are healthy by default, so
+  // the table stays proportional to the crawl's FAILING hosts, not its
+  // host dimension. Keyed by host_hash like the admission-cap counts (the
+  // same documented ~3e-6 collision bias at 10^7 hosts).
+  private val HostHealth = "host_health"
   // rows are clustered by `shard` = pmod(content_hash, bloomShards) on
   // write, so the store-mode per-wave check scans only the bands the
   // wave's fingerprints touch (filter pushed to parquet row groups) —
@@ -383,6 +398,10 @@ object CrawlDriver {
     "content_hash BIGINT, canonical_url STRING, wave INT, shard INT")
   private def contentStateSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "__chash BIGINT, __owner STRING")
+  private def hostHealthSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "host_hash BIGINT, consec INT, quarantined_until INT, wave INT")
+  private def healthStateSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "host_hash BIGINT, __consec BIGINT, __until INT")
   private def robotsRulesSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "host STRING, path_prefix STRING, allow BOOLEAN, rule_order INT, wave INT")
   private def robotsHostsSchema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -625,6 +644,7 @@ object CrawlDriver {
       .declare("redirects", org.apache.spark.sql.Encoders.product[RedirectRow].schema)
       .declare(Duplicates, org.apache.spark.sql.Encoders.product[DuplicateRow].schema)
       .declare(ContentSeen, contentSeenSchema)
+      .declare(HostHealth, hostHealthSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "shard_fan" -> eng.bloomShards.toString,
@@ -807,6 +827,7 @@ object CrawlDriver {
       .declare("redirects", org.apache.spark.sql.Encoders.product[RedirectRow].schema)
       .declare(Duplicates, org.apache.spark.sql.Encoders.product[DuplicateRow].schema)
       .declare(ContentSeen, contentSeenSchema)
+      .declare(HostHealth, hostHealthSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "shard_fan" -> eng.bloomShards.toString,
@@ -1167,6 +1188,44 @@ object CrawlDriver {
       else 1L
     val hintContent = new DimensionHint(eng.robotsBroadcastMaxRows, () => contentRowsApprox)
 
+    // ---- host-BACKOFF state (cfg.hostBackoff, oracle model point 12):
+    // (host_hash -> consecutive transient failures, quarantined-through
+    // wave), chained through eagerly materialized localCheckpoints like the
+    // host-cap counts — but holding ONLY unhealthy hosts (consec > 0 or
+    // quarantine still ahead), so it stays proportional to the crawl's
+    // failing hosts. The durable copy is the `host_health` table (changed
+    // rows appended per wave, latest-wave-wins), which resume reads back; a
+    // store written with the feature off has no rows, so enabling at resume
+    // starts every host healthy (matches the oracle). `healthMaxUntil` is a
+    // driver-tracked upper bound on any quarantine's expiry: once the wave
+    // passes it, the selection gate join is skipped entirely — a healthy
+    // crawl pays nothing per wave but the trailing-failure aggregate.
+    val backoffCfg = cfg.hostBackoff
+    val backoffActive = backoffCfg.nonEmpty
+    var healthState: DataFrame =
+      if (!backoffActive) null
+      else if (fast.isEmpty && store.currentManifest.exists(_.tables.contains(HostHealth)))
+        store.read(HostHealth)
+          .groupBy($"host_hash")
+          .agg(max(struct($"wave", $"consec", $"quarantined_until")).as("__s"))
+          .select($"host_hash", $"__s.consec".cast("long").as("__consec"),
+            $"__s.quarantined_until".as("__until"))
+          .filter($"__consec" > 0 || $"__until" >= wave)
+      else emptyDf(spark, healthStateSchema)
+    // floored at 1 like contentRowsApprox: an empty state must not dodge
+    // the forced-withheld test seam at bound 0 (the selection fast path
+    // keys on healthMaxUntil, not this bound)
+    var healthRowsApprox = 1L
+    var healthMaxUntil = 0
+    if (backoffActive && fast.isEmpty &&
+        store.currentManifest.exists(_.tables.contains(HostHealth))) {
+      val r = healthState
+        .agg(count(lit(1)), coalesce(max($"__until"), lit(0))).head()
+      healthRowsApprox = math.max(1L, r.getLong(0))
+      healthMaxUntil = r.getInt(1)
+    }
+    val hintHealth = new DimensionHint(eng.robotsBroadcastMaxRows, () => healthRowsApprox)
+
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
     // store is the durable/resume copy, written asynchronously off the
     // critical path): `pendingDF` is the live frontier plan; `seenSlices`
@@ -1250,9 +1309,29 @@ object CrawlDriver {
         // default. Broadcast mode captures the budget map at wave start;
         // table mode JOINS the robots_hosts table (store through the last
         // awaited commit ∪ the in-flight delta, deduped per host).
+        // ---- host-BACKOFF gate (oracle model point 12): pending rows on
+        // quarantined hosts sit this wave out entirely — they skip the
+        // budget window below and rejoin the frontier unchanged. Skipped
+        // outright (no join, no count job) unless some quarantine can
+        // still be live (healthMaxUntil is a driver-tracked upper bound).
+        val fcolsF = frontierSchema.fieldNames.map(col).toSeq
+        val backoffMarked: Option[DataFrame] =
+          if (!backoffActive || healthMaxUntil < wave) None
+          else Some(pending.toDF()
+            .join(hintHealth(healthState.filter($"__until" >= wave)
+              .select($"host_hash", lit(true).as("__q"))),
+              Seq("host_hash"), "left").cache())
+        val backoffDeferredCount =
+          backoffMarked.map(_.filter($"__q").count()).getOrElse(0L)
+        val backoffDeferredDf: Option[DataFrame] =
+          if (backoffDeferredCount == 0) None
+          else backoffMarked.map(_.filter($"__q").select(fcolsF: _*))
+        val eligible = backoffMarked
+          .map(_.filter($"__q".isNull).drop("__q")).getOrElse(pending.toDF())
+
         val hostWin = Window.partitionBy($"host_hash")
           .orderBy($"priority", $"discovery_time", $"canonical_url")
-        val ranked = pending.toDF().withColumn("__rk", row_number().over(hostWin)).cache()
+        val ranked = eligible.withColumn("__rk", row_number().over(hostWin)).cache()
         val (selectedRaw, deferred) =
           if (!tableRobots) {
             val bb = budgetsCur
@@ -1290,7 +1369,6 @@ object CrawlDriver {
         // so the stage tail is one small task, not a third scheduling
         // round of the CPU-heavy parse.
         val nParts = 8 * math.max(1, spark.sessionState.conf.numShufflePartitions)
-        val fcolsF = frontierSchema.fieldNames.map(col).toSeq
         val salted = selectedRaw.select(fcolsF: _*)
           .withColumn("__salt", pmod(xxhash64($"canonical_url"), lit(eng.saltFanout.toLong)))
           .repartition(nParts, $"host_hash", $"__salt")
@@ -1746,6 +1824,55 @@ object CrawlDriver {
         val hostCappedTotal =
           capTagged.map(_.filter($"__hrk" > $"__room").count()).getOrElse(0L)
 
+        // ---- host-BACKOFF update (oracle model point 12): per selected
+        // host, the END-OF-WAVE consecutive transient-failure count is the
+        // trailing run of transients in frontier order — a row counts iff
+        // it and everything after it on its host failed transiently
+        // (cumulative max of the reset flag over the DESC-ordered window,
+        // LIGHT columns only). Hosts with any non-transient outcome reset
+        // (the server answered); otherwise the prior count accumulates.
+        // Crossing the threshold quarantines through wave+backoffWaves and
+        // resets. Only rows whose state CHANGED survive: they ride the
+        // commit (durable, latest-wave-wins) and replace their hosts in
+        // the resident state below.
+        val healthUpd: Option[DataFrame] =
+          if (!backoffActive || selectedTotal == 0) None
+          else {
+            val b = backoffCfg.get
+            val wDesc = Window.partitionBy($"host_hash")
+              .orderBy($"priority".desc, $"discovery_time".desc,
+                $"canonical_url".desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val trailing = outcomes
+              .select($"host_hash", $"priority", $"discovery_time",
+                $"canonical_url",
+                when($"status" === "transient", 0).otherwise(1).as("__nt"))
+              .withColumn("__anyNT", max($"__nt").over(wDesc))
+              .groupBy($"host_hash")
+              .agg(sum(when($"__anyNT" === 0, 1L).otherwise(0L)).as("__trail"),
+                max($"__nt").as("__reset"))
+            Some(trailing.join(hintHealth(healthState), Seq("host_hash"), "left")
+              .withColumn("__c1", when($"__reset" === 1, $"__trail")
+                .otherwise(coalesce($"__consec", lit(0L)) + $"__trail"))
+              .withColumn("__qr", $"__c1" >= b.failureThreshold)
+              .select($"host_hash",
+                when($"__qr", 0L).otherwise($"__c1").as("__consec2"),
+                when($"__qr", lit(wave + b.backoffWaves))
+                  .otherwise(coalesce($"__until", lit(0))).as("__until2"),
+                coalesce($"__consec", lit(0L)).as("__pc"),
+                coalesce($"__until", lit(0)).as("__pu"))
+              .filter($"__consec2" =!= $"__pc" || $"__until2" =!= $"__pu")
+              .cache())
+          }
+        // one tiny job (failing-host-sized): the changed-row count gates
+        // the commit append; the max expiry feeds the selection fast path
+        val (healthChangedCount, healthChangedMaxUntil) = healthUpd match {
+          case None => (0L, 0)
+          case Some(u) =>
+            val r = u.agg(count(lit(1)), coalesce(max($"__until2"), lit(0))).head()
+            (r.getLong(0), r.getInt(1))
+        }
+
         val tDedupMs = (System.nanoTime() - tDedup0) / 1e6
         val tCommit0 = System.nanoTime()
         // localCheckpoint (lazy) truncates the logical plan — the wave-to-
@@ -1759,7 +1886,7 @@ object CrawlDriver {
         // ---- metrics with per-partition lineage from the fetch stage
         // (fetched counts SUCCESSES; failed attempts are in the errors
         // table or requeued, and budget_deferred = selection shortfall)
-        val deferredCount = pendingCount - selectedTotal
+        val deferredCount = pendingCount - backoffDeferredCount - selectedTotal
         val metricsRows = {
           val base = fetchStats.sortBy(_._1).map { case (pid, _, ok, _, _, _, _, _, _) =>
             WaveMetrics(wave, pid, ok, ok, 0L, 0L, 0L, 0L)
@@ -1777,8 +1904,11 @@ object CrawlDriver {
         // shard aggregation: bit arrays to the driver, never URL strings)
         // runs ASYNCHRONOUSLY, overlapped with the next wave's selection
         // and fetch stages; it is awaited before the next bloom probe.
-        val newPending = deferred.toDF().unionByName(admitted.toDF())
-          .unionByName(requeued)
+        // backoff-deferred rows rejoin the frontier unchanged (they were
+        // never selected, so MOR deltas carry no del for them either)
+        val newPending = backoffDeferredDf
+          .foldLeft(deferred.toDF().unionByName(admitted.toDF())
+            .unionByName(requeued))(_ unionByName _)
           .localCheckpoint(false) // plan truncation, materialized at commit
         nextSeq += discovered
         fetchedTotal += fetchedThisWave
@@ -1824,6 +1954,12 @@ object CrawlDriver {
         }
         if (erroredTotal > 0) commitBuilder.append("errors", errorRows)
         if (redirectedTotal > 0) commitBuilder.append("redirects", redirectRows)
+        // backoff state rides the wave commit: changed rows only,
+        // wave-stamped, latest-wave-wins on read-back
+        if (healthChangedCount > 0)
+          commitBuilder.append(HostHealth, healthUpd.get.select($"host_hash",
+            $"__consec2".cast("int").as("consec"),
+            $"__until2".as("quarantined_until"), lit(wave).as("wave")))
         // content-dedup state rides the wave commit: the dup alias rows and
         // this wave's NEW fingerprints (every success is either a dup or a
         // new owner, so the owner count is pure arithmetic — no extra job)
@@ -1859,7 +1995,8 @@ object CrawlDriver {
             "wave_depth_capped" -> cappedTotalEff.toString,
             "wave_scope_filtered" -> filteredTotalEff.toString,
             "wave_host_capped" -> hostCappedTotal.toString,
-            "wave_content_dup" -> contentDupTotal.toString)
+            "wave_content_dup" -> contentDupTotal.toString,
+            "wave_backoff_deferred" -> backoffDeferredCount.toString)
         val doDelta = useFilter && discovered > 0
         val filterNow = bloomB
         val genNow = filterGen
@@ -1892,7 +2029,8 @@ object CrawlDriver {
               scala.concurrent.duration.Duration.Inf)
           }
         }
-        carriedPendingCount = Some(deferredCount + (discovered - denied) + requeuedTotal)
+        carriedPendingCount = Some(deferredCount + backoffDeferredCount +
+          (discovered - denied) + requeuedTotal)
         val supersededPending = pendingDF
         pendingDF = newPending
         // fold this wave's admissions (newSeen: admitted + robots-denied —
@@ -1936,11 +2074,32 @@ object CrawlDriver {
           // store mode keeps no resident state: just track the growth
           contentRowsApprox += math.max(0L, newOwnerCount)
         }
+        // replace changed hosts in the resident backoff state and drop
+        // rows back at the healthy default (consec 0, quarantine expired) —
+        // the state holds only unhealthy hosts. Same eager-materialization
+        // discipline as the counts/content states above; the count doubles
+        // as the hint bound.
+        val supersededHealth =
+          if (backoffActive && healthChangedCount > 0) List(healthState) else Nil
+        if (backoffActive && healthChangedCount > 0) {
+          val changedKeys = healthUpd.get.select($"host_hash")
+          healthState = healthState
+            .join(if (healthChangedCount <= eng.robotsBroadcastMaxRows)
+              broadcast(changedKeys) else changedKeys,
+              Seq("host_hash"), "left_anti")
+            .unionByName(healthUpd.get.select($"host_hash",
+              $"__consec2".as("__consec"), $"__until2".as("__until")))
+            .filter($"__consec" > 0 || $"__until" > wave)
+            .localCheckpoint(false)
+          healthRowsApprox = math.max(1L, healthState.count())
+          healthMaxUntil = math.max(healthMaxUntil, healthChangedMaxUntil)
+        }
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++
-          capTagged ++ contentTagged
+          capTagged ++ contentTagged ++ backoffMarked ++ healthUpd
         ckptPrev = ckptPrev ++ ckptCur
         ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
           waveSeqCkpts ++ supersededCounts ++ supersededContent ++
+          supersededHealth ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
         bootstrapRes = Nil
         if (cachedSeen) {
@@ -1989,7 +2148,7 @@ object CrawlDriver {
     // checkpoint (the exit-path awaitInFlight ran, so no consumer
     // survives), and reclaim superseded filter generations
     (ckptPrev ++ ckptCur ++ bootstrapRes ++ Option(hostCounts) ++
-      Option(contentSeenState) :+ pendingDF)
+      Option(contentSeenState) ++ Option(healthState) :+ pendingDF)
       .foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
     seenSlices.foreach { s =>
       s.unpersist()
@@ -1999,7 +2158,8 @@ object CrawlDriver {
       shardStore.get.cleanupBelow(filterGen.baseVersion, filterGen.deltaWaves.toSet)
     RunHandle(store, wavesRun, fetchedTotal, filterBroadcasts, maxSeenSlices,
       hintRobots.applied, hintRobots.withheld, hintCounts.applied,
-      hintCounts.withheld, hintContent.applied, hintContent.withheld)
+      hintCounts.withheld, hintContent.applied, hintContent.withheld,
+      hintHealth.applied, hintHealth.withheld)
   }
 
   /** Expire URLs — the deletion-safe-dedup flow the cuckoo variant exists

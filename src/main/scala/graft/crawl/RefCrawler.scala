@@ -17,7 +17,8 @@ case class WaveTotals(
     depth_capped: Long = 0L,
     scope_filtered: Long = 0L,
     host_capped: Long = 0L,
-    content_dup: Long = 0L)
+    content_dup: Long = 0L,
+    backoff_deferred: Long = 0L)
 
 /** Sequential, Spark-free oracle crawler — the BINDING semantics
   * (SURVEY.md §1.4; the reference mount is empty, so this deterministic
@@ -86,7 +87,19 @@ case class WaveTotals(
   *     the `duplicates` table with its owner. State persists across
   *     [[runPhased]] phases; with the flag OFF nothing is recorded, so a
   *     phase-2 enable dedups only against phase-2 content.
-  * 12. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
+  * 12. HOST BACKOFF ([[CrawlConfig.hostBackoff]], the server-overload
+  *     guard): per host, a CONSECUTIVE transient-failure count in frontier
+  *     order, accumulated across waves; any non-transient outcome
+  *     (success, redirect, permanent — the server answered) resets it. At
+  *     END of wave, every host selected this wave whose count reached
+  *     `failureThreshold` is quarantined through wave + `backoffWaves`
+  *     (its pending URLs are not selected those waves — counted
+  *     `backoff_deferred` — and re-enter unchanged afterwards) and its
+  *     count resets to zero. State persists across [[runPhased]] phases;
+  *     with the feature off nothing is recorded, so a phase-2 enable
+  *     starts every host healthy (and a phase-2 disable ignores phase-1
+  *     quarantines).
+  * 13. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
   *     (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
@@ -171,6 +184,11 @@ class RefCrawler(cfg: CrawlConfig) {
     // content fingerprint -> owning URL (model point 11); persists across
     // runPhased phases like the seen-set
     val contentSeen = mutable.HashMap.empty[Long, String]
+    // host backoff state (model point 12): consecutive transient failures
+    // and the wave through which the host is quarantined; mutated only
+    // while cur.hostBackoff is set (feature-off phases record nothing)
+    val consecFails = mutable.HashMap.empty[String, Int]
+    val quarantinedUntil = mutable.HashMap.empty[String, Int]
     val totals = mutable.ArrayBuffer.empty[WaveTotals]
     var nextSeq = 0L
     var fetchedTotal = 0L
@@ -214,14 +232,23 @@ class RefCrawler(cfg: CrawlConfig) {
 
     var wave = 1
     while (pending.nonEmpty && wave <= cur.maxWaves && fetchedTotal < cur.maxUrls) {
+      // backoff gate (model point 12): quarantined hosts sit this wave out
+      // entirely; their pending URLs are backoff-deferred, not
+      // budget-deferred
+      val eligible =
+        if (cur.hostBackoff.isEmpty) pending.toIndexedSeq
+        else pending.iterator
+          .filter(e => quarantinedUntil.getOrElse(e.host, 0) < wave)
+          .toIndexedSeq
+      val backoffDeferred = (pending.size - eligible.size).toLong
       // wave selection: per host, first B in frontier order
-      val byHost = pending.groupBy(_.host)
+      val byHost = eligible.groupBy(_.host)
       val selected = byHost.iterator.flatMap { case (host, entries) =>
         entries.sortBy(e => (e.priority, e.discovery_time, e.canonical_url))
           .take(effectiveBudget(host))
       }.toIndexedSeq
         .sortBy(e => (e.priority, e.discovery_time, e.canonical_url))
-      val deferred = pending.size - selected.size
+      val deferred = eligible.size - selected.size
 
       val selectedSet = selected.map(_.canonical_url).toSet
       pending.filterInPlace(e => !selectedSet.contains(e.canonical_url))
@@ -236,8 +263,17 @@ class RefCrawler(cfg: CrawlConfig) {
       cappedInWave = 0L
       hostCappedInWave = 0L
       hostCappedUrlsInWave.clear()
+      // backoff bookkeeping: transient increments the host's consecutive
+      // count, ANY other outcome resets it (the server answered)
+      def noteOutcome(host: String, transient: Boolean): Unit =
+        if (cur.hostBackoff.nonEmpty) {
+          if (transient) consecFails.update(host, consecFails.getOrElse(host, 0) + 1)
+          else consecFails.remove(host)
+        }
       selected.foreach { e =>
-        cur.fetcher.fetchAttempt(e.canonical_url, e.attempts) match {
+        val outcome = cur.fetcher.fetchAttempt(e.canonical_url, e.attempts)
+        noteOutcome(e.host, outcome == TransientFetchError)
+        outcome match {
           case Fetched(spans, rawLinks) =>
             fetchedThisWave += 1
             trace += TraceRow(wave, fetchedThisWave, e.host, e.canonical_url)
@@ -292,9 +328,20 @@ class RefCrawler(cfg: CrawlConfig) {
         }
       }
       fetchedTotal += fetchedThisWave
+      // backoff quarantine decision at END of wave (model point 12): only
+      // hosts selected this wave can have changed their count; crossing
+      // the threshold quarantines and resets
+      cur.hostBackoff.foreach { b =>
+        selected.iterator.map(_.host).toSet[String].foreach { h =>
+          if (consecFails.getOrElse(h, 0) >= b.failureThreshold) {
+            quarantinedUntil.update(h, wave + b.backoffWaves)
+            consecFails.remove(h)
+          }
+        }
+      }
       totals += WaveTotals(wave, fetchedThisWave, discovered, deduped, denied,
         deferred.toLong, redirectedThisWave, cappedInWave, filteredThisWave,
-        hostCappedInWave, contentDupThisWave)
+        hostCappedInWave, contentDupThisWave, backoffDeferred)
       wave += 1
       if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
         cur = cfg2

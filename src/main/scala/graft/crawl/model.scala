@@ -213,6 +213,25 @@ case class UrlScope(
   }
 }
 
+/** Per-host transient-failure BACKOFF (the Heritrix/Nutch server-overload
+  * guard, oracle model point 12): a host showing `failureThreshold`
+  * CONSECUTIVE transient fetch failures (in frontier order, accumulated
+  * across waves; any success/redirect/permanent response resets the count —
+  * the server answered) is quarantined for the next `backoffWaves` waves:
+  * its pending URLs sit those waves out entirely (counted
+  * `backoff_deferred`, not budget-deferred) and re-enter selection
+  * unchanged afterwards. The check runs at END of wave (a wave is a batch —
+  * its selection was already committed), so the trigger is the host's
+  * end-of-wave consecutive count; entering quarantine resets the count to
+  * zero (a fresh start after the pause). Quarantine state persists in the
+  * `host_health` table and rebuilds on resume; runs with the feature off
+  * record nothing, so enabling it at resume starts every host healthy.
+  */
+case class HostBackoff(failureThreshold: Int, backoffWaves: Int) {
+  require(failureThreshold >= 1, "failureThreshold must be >= 1")
+  require(backoffWaves >= 1, "backoffWaves must be >= 1")
+}
+
 /** Crawl configuration shared by the oracle and the Spark engine.
   * hostBudgets: per-host politeness overrides (e.g. mapped from robots
   * Crawl-delay via [[graft.functions.RobotsTxt]]); hosts not listed use
@@ -304,7 +323,11 @@ case class CrawlConfig(
       * flag OFF record no fingerprints, so enabling it at resume dedups
       * only against content fetched from that point on.
       */
-    contentDedup: Boolean = false) {
+    contentDedup: Boolean = false,
+    /** Per-host transient-failure backoff — see [[HostBackoff]]. None
+      * (default) = never quarantine.
+      */
+    hostBackoff: Option[HostBackoff] = None) {
   require(maxDepth >= 0, "maxDepth must be >= 0 (seeds are depth 0)")
   require(maxUrlsPerHost >= 0, "maxUrlsPerHost must be >= 0")
   /** The fetch implementation; engine and oracle share it. */

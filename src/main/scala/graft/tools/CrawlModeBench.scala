@@ -10,13 +10,16 @@ import org.apache.spark.sql.SparkSession
   * Modes: fixture | fetch | table | scale | scale-table | hostcap | cdup
   * | cdup-store (cdup with contentStorage="store": the registry scanned
   * shard-pruned from the content_seen table each wave, never resident)
-  * (hostcap = fixture + a maxUrlsPerHost high enough to never bind: the
-  * full cap machinery — per-host window, counts join, chained checkpoint —
-  * runs every wave, so fixture-vs-hostcap is its pure overhead. cdup =
-  * fixture + contentDedup on the unique-content web: no fingerprint ever
-  * matches, but every success is hashed, window-ranked, state-joined and
-  * appended to content_seen — the WORST case for state growth and the
-  * pure overhead of the content-seen machinery.)
+  * | backoff (hostcap = fixture + a maxUrlsPerHost high enough to never
+  * bind: the full cap machinery — per-host window, counts join, chained
+  * checkpoint — runs every wave, so fixture-vs-hostcap is its pure
+  * overhead. cdup = fixture + contentDedup on the unique-content web: no
+  * fingerprint ever matches, but every success is hashed, window-ranked,
+  * state-joined and appended to content_seen — the WORST case for state
+  * growth and the pure overhead of the content-seen machinery. backoff =
+  * fixture + hostBackoff on the failure-free web: no host ever fails, so
+  * the per-wave trailing-failure aggregate runs with nothing to find —
+  * the healthy-crawl overhead of the backoff machinery.)
   */
 object CrawlModeBench {
   def main(args: Array[String]): Unit = {
@@ -42,6 +45,7 @@ object CrawlModeBench {
       case "fixture"     => (CrawlDriver.EngineConfig(), false)
       case "hostcap"     => (CrawlDriver.EngineConfig(), false)
       case "cdup"        => (CrawlDriver.EngineConfig(), false)
+      case "backoff"     => (CrawlDriver.EngineConfig(), false)
       case "cdup-store"  => (CrawlDriver.EngineConfig(contentStorage = "store"), false)
       case "fetch"       => (CrawlDriver.EngineConfig(), true)
       case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
@@ -57,6 +61,8 @@ object CrawlModeBench {
       def withCap(c: CrawlConfig): CrawlConfig =
         if (m == "hostcap") c.copy(maxUrlsPerHost = 1L << 40)
         else if (m == "cdup" || m == "cdup-store") c.copy(contentDedup = true)
+        else if (m == "backoff") c.copy(hostBackoff =
+          Some(graft.crawl.HostBackoff(failureThreshold = 3, backoffWaves = 2)))
         else c
       // warm (small), then timed (the Bench wide-wave regime)
       CrawlDriver.run(spark, withCap(cfgOf(101, 2000, 5000, fetch)),
