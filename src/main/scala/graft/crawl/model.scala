@@ -190,25 +190,57 @@ case class ErrorRow(wave: Int, canonical_url: String, host: String,
   * deny-pattern (java regex, unanchored find), then allow-patterns (if any
   * are set, the URL must match at least one). A pure, deterministic
   * function — identical in the sequential oracle and in executor tasks.
+  * The two path-trap guards (Heritrix TooManyPathSegments /
+  * PathologicalPath DecideRules): `maxPathSegments` denies URLs whose path
+  * has more non-empty segments than the bound (the infinite-calendar /
+  * deep-tree trap), `maxSegmentRepeat` denies URLs where any path segment
+  * repeats CONSECUTIVELY more than the bound (the /a/a/a/... self-link
+  * trap). 0 = guard off. Query strings are not path segments.
   */
 case class UrlScope(
     denySuffixes: Seq[String] = Nil,
     denyPatterns: Seq[String] = Nil,
-    allowPatterns: Seq[String] = Nil) {
+    allowPatterns: Seq[String] = Nil,
+    maxPathSegments: Int = 0,
+    maxSegmentRepeat: Int = 0) {
   @transient private lazy val denyRe =
     denyPatterns.map(java.util.regex.Pattern.compile)
   @transient private lazy val allowRe =
     allowPatterns.map(java.util.regex.Pattern.compile)
   @transient private lazy val denySfx = denySuffixes.map(_.toLowerCase)
   def isUnbounded: Boolean =
-    denySuffixes.isEmpty && denyPatterns.isEmpty && allowPatterns.isEmpty
+    denySuffixes.isEmpty && denyPatterns.isEmpty && allowPatterns.isEmpty &&
+      maxPathSegments <= 0 && maxSegmentRepeat <= 0
+  private def pathOk(url: String): Boolean = {
+    if (maxPathSegments <= 0 && maxSegmentRepeat <= 0) true
+    else {
+      val segs = graft.functions.CanonicalUrl.path(url)
+        .split('/').filter(_.nonEmpty)
+      (maxPathSegments <= 0 || segs.length <= maxPathSegments) && {
+        maxSegmentRepeat <= 0 || {
+          var ok = true
+          var run = 1
+          var i = 1
+          while (ok && i < segs.length) {
+            if (segs(i) == segs(i - 1)) {
+              run += 1
+              if (run > maxSegmentRepeat) ok = false
+            } else run = 1
+            i += 1
+          }
+          ok
+        }
+      }
+    }
+  }
   def allows(url: String): Boolean = {
     if (isUnbounded) true
     else {
       val lower = url.toLowerCase
       !denySfx.exists(lower.endsWith) &&
         !denyRe.exists(_.matcher(url).find()) &&
-        (allowRe.isEmpty || allowRe.exists(_.matcher(url).find()))
+        (allowRe.isEmpty || allowRe.exists(_.matcher(url).find())) &&
+        pathOk(url)
     }
   }
 }

@@ -66,6 +66,39 @@ class UrlScopeSpec extends AnyFunSuite {
       s"wave ${t.wave} scope_filtered"))
   }
 
+  test("path-trap guards: maxPathSegments bounds path depth, " +
+    "maxSegmentRepeat bounds consecutive segment repetition (Heritrix " +
+    "TooManyPathSegments / PathologicalPath) — allows() semantics plus a " +
+    "self-link-trap crawl fixture, engine == oracle") {
+    val deep = UrlScope(maxPathSegments = 3)
+    assert(deep.allows("http://h.test/a/b/c"))
+    assert(deep.allows("http://h.test/a/b/c?q=/x/y/z/w")) // query not path
+    assert(!deep.allows("http://h.test/a/b/c/d"))
+    val rep = UrlScope(maxSegmentRepeat = 2)
+    assert(rep.allows("http://h.test/a/a"))
+    assert(rep.allows("http://h.test/a/b/a/b")) // non-consecutive
+    assert(!rep.allows("http://h.test/a/a/a"))
+    assert(!rep.allows("http://h.test/x/cal/cal/cal/y"))
+    assert(UrlScope(maxSegmentRepeat = 1).allows("http://h.test/a/b"))
+    assert(!UrlScope(maxSegmentRepeat = 1).allows("http://h.test/a/a"))
+    // the /a/a/a... self-link trap: the crawl follows the chain only to
+    // the guard and the deep branch only to the segment bound
+    val fetcher = MapFetcher(Map(
+      "http://t.test/a" -> Seq("/a/a", "/x/y/z/w"),
+      "http://t.test/a/a" -> Seq("/a/a/a", "/a/b/a")))
+    val cfg = CrawlConfig(Seq("http://t.test/a"), budgetPerHost = 4,
+      maxWaves = 1000, fetcherOverride = Some(fetcher),
+      scope = UrlScope(maxPathSegments = 3, maxSegmentRepeat = 2))
+    val (o, totals) = new RefCrawler(cfg).run()
+    assert(o.seen === Set("http://t.test/a", "http://t.test/a/a",
+      "http://t.test/a/b/a"))
+    assert(totals.find(_.wave == 1).get.scope_filtered === 1L) // /x/y/z/w
+    assert(totals.find(_.wave == 2).get.scope_filtered === 1L) // /a/a/a
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
   test("engine == oracle with scope + depth cap + redirect/failure injection " +
     "on the hash web, across parallelism and the full 10^10 config + resume; " +
     "the filter binds and filtered URLs stay out of every table") {
