@@ -175,6 +175,31 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       .commit()
   }
 
+  /** Roll the store back to `version` (Iceberg's rollback-to-snapshot):
+    * publish a NEW snapshot whose tables and summary are exactly that
+    * manifest's. Expressed as a roll-FORWARD commit — pointing CURRENT
+    * backwards would wedge the next commit's CAS claim against the undone
+    * versions' already-existing manifest files, and deleting those would
+    * destroy time-travel; instead the chain stays monotonic, the undone
+    * versions stay readable until [[expireSnapshots]] ages them out, and
+    * their unshared data dirs become ordinary GC orphans. No data is
+    * written or copied — the new manifest shares the target's dirs. A
+    * crawl [[graft.crawl.CrawlDriver.resume]] after a rollback continues
+    * from the rolled-back wave (the summary carries the wave counters).
+    * Returns the new version.
+    */
+  def rollbackTo(version: Long): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    require(version <= cur, s"cannot roll back to v$version: CURRENT is v$cur")
+    val target = manifest(version) // throws if expired/unknown
+    beginCommit()
+      .restore(target.tables)
+      .summary(target.summary.toSeq: _*)
+      .summary("rolled_back_to" -> version.toString)
+      .commit()
+  }
+
   /** Normalize a schema for storage: nullability is a property of the data
     * in a given write, not of the logical table — appends from differently
     * derived plans must unify.
@@ -355,6 +380,15 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     def declare(table: String, schema: StructType): Commit = {
       if (!tables.contains(table))
         tables += table -> TableState(ddlOf(schema), Nil)
+      this
+    }
+
+    /** Replace the whole table map with an earlier manifest's (the
+      * [[SnapshotStore.rollbackTo]] primitive): shares those dirs, writes
+      * no data. Package-private — general callers go through rollbackTo.
+      */
+    private[sources] def restore(t: Map[String, TableState]): Commit = {
+      tables = t
       this
     }
 

@@ -100,6 +100,27 @@ class ExpireAndCompactSpec extends AnyFunSuite {
     assert(pendingAfter === pendingBefore -- victims)
   }
 
+  test("rollbackTo a mid-crawl wave + resume == the uninterrupted crawl " +
+    "(the rollback snapshot carries the wave counters, so the resumed loop " +
+    "re-runs the undone waves deterministically)") {
+    val full = cfg()
+    val (o, _) = new RefCrawler(full).run()
+    val root = Files.createTempDirectory("rollback").toString
+    CrawlDriver.run(spark, full, root)
+    val store = new SnapshotStore(root, spark)
+    // find the snapshot version that committed wave 2 (wave 0 = seeds)
+    val v2 = (0L to store.currentVersion.get)
+      .find(v => store.manifest(v).summary("wave") == "2").get
+    assert(store.currentVersion.get > v2, "crawl too short for a mid-crawl rollback")
+    store.rollbackTo(v2)
+    assert(store.currentManifest.get.summary("wave") === "2")
+    // the undone waves' trace rows are gone from the CURRENT view
+    import spark.implicits._
+    assert(store.read("trace").as[TraceRow].collect().forall(_.wave <= 2))
+    CrawlDriver.resume(spark, full, root)
+    CrawlTestUtil.assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
   test("expireSnapshots keeps the current state readable, drops stale COW dirs") {
     val root = Files.createTempDirectory("gc").toString
     CrawlDriver.run(spark, cfg(), root)

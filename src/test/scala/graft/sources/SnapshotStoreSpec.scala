@@ -88,6 +88,46 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.toSeq === Seq("id", "v"))
   }
 
+  test("rollbackTo: a roll-FORWARD snapshot restoring the target's tables " +
+    "and summary; undone versions stay time-travelable, the chain stays " +
+    "monotonic (next commit claims normally), and expireSnapshots reclaims " +
+    "the undone versions' unshared dirs while keeping shared ones") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val store = new SnapshotStore(root, spark)
+    store.beginCommit().append("log", Seq((1, "a")).toDF("id", "v"))
+      .replace("state", Seq(1).toDF("id")).summary("wave" -> "0").commit()
+    store.beginCommit().append("log", Seq((2, "b")).toDF("id", "v"))
+      .replace("state", Seq(2).toDF("id")).summary("wave" -> "1").commit()
+    store.beginCommit().append("log", Seq((3, "c")).toDF("id", "v"))
+      .replace("state", Seq(3).toDF("id")).summary("wave" -> "2").commit()
+
+    val v3 = store.rollbackTo(0L)
+    assert(v3 === 3L)
+    // reads == v0 content; no data was copied (shared dirs)
+    assert(store.read("log").as[(Int, String)].collect().toSeq === Seq((1, "a")))
+    assert(store.read("state").as[Int].head() === 1)
+    assert(store.currentManifest.get.summary("wave") === "0")
+    assert(store.currentManifest.get.summary("rolled_back_to") === "0")
+    assert(store.manifest(3L).tables("log").dataDirs ===
+      store.manifest(0L).tables("log").dataDirs)
+    // undone versions still time-travel until expired
+    assert(store.read("log", Some(2L)).count() === 3)
+    // the chain continues normally past the rollback
+    val v4 = store.beginCommit().append("log", Seq((9, "z")).toDF("id", "v")).commit()
+    assert(v4 === 4L)
+    assert(store.read("log").count() === 2) // v0's row + the new one
+    // GC: keeping v3..v4 drops the undone appends' dirs but keeps v0's
+    // (shared by the rollback manifest)
+    val removed = store.expireSnapshots(keepLast = 2)
+    assert(removed.exists(_.contains("data/log/v1")), "undone v1 append not reclaimed")
+    assert(removed.exists(_.contains("data/log/v2")), "undone v2 append not reclaimed")
+    assert(store.read("log").count() === 2, "shared dirs must survive GC")
+    // bounds
+    assertThrows[IllegalArgumentException](store.rollbackTo(99L))
+    assertThrows[Exception](new SnapshotStore(tmpRoot(), spark).rollbackTo(0L))
+  }
+
   test("optimistic concurrency: a commit whose parent is no longer CURRENT " +
     "fails WITHOUT clobbering the winner's data") {
     import spark.implicits._
