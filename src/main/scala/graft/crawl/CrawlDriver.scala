@@ -1205,12 +1205,17 @@ object CrawlDriver {
     var healthState: DataFrame =
       if (!backoffActive) null
       else if (fast.isEmpty && store.currentManifest.exists(_.tables.contains(HostHealth)))
+        // checkpointed at init (materialized by the count below): the lazy
+        // plan would re-scan + re-aggregate host_health up to twice per
+        // wave (selection gate + update join) until the first change
+        // replaces it — the same eager discipline as every chained state
         store.read(HostHealth)
           .groupBy($"host_hash")
           .agg(max(struct($"wave", $"consec", $"quarantined_until")).as("__s"))
           .select($"host_hash", $"__s.consec".cast("long").as("__consec"),
             $"__s.quarantined_until".as("__until"))
           .filter($"__consec" > 0 || $"__until" >= wave)
+          .localCheckpoint(false)
       else emptyDf(spark, healthStateSchema)
     // floored at 1 like contentRowsApprox: an empty state must not dodge
     // the forced-withheld test seam at bound 0 (the selection fast path

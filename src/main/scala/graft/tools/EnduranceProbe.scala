@@ -97,6 +97,24 @@ object EnduranceProbe {
       filterDistribution = "lazy", pendingStorage = "mor",
       seenStorage = "store", robotsStorage = "table", contentStorage = "store"),
       "(registry = per-wave pruned table scan; must stay flat)", c = cdup)
+    // host-backoff leg under SUSTAINED failure injection (every wave sees
+    // transients, hosts keep cycling into and out of quarantine): the
+    // chained health checkpoints and the host_health appends enter the
+    // release cycle every wave. PASS METRIC: the rdd-kind line of the
+    // block census (what the release queues manage) stays flat; the
+    // high-water RATIO is GC-timing-sensitive — broadcast pieces
+    // accumulate until driver GC lets ContextCleaner reclaim them (the
+    // session-7 adjudication; a 1.5–4x ratio with a flat rdd census is
+    // that artifact, not a leak)
+    probe("backoff", CrawlDriver.EngineConfig(
+      filterDistribution = "lazy", pendingStorage = "mor",
+      seenStorage = "store", robotsStorage = "table"),
+      "(hostBackoff under 30% transient injection; pass = flat rdd census)",
+      c = cfg.copy(
+        web = web.copy(transientFailPct = 30),
+        maxFetchAttempts = 4,
+        hostBackoff = Some(graft.crawl.HostBackoff(failureThreshold = 2,
+          backoffWaves = 2))))
     spark.stop()
   }
 }
