@@ -147,7 +147,11 @@ object CrawlDriver {
                        /** host-backoff state joins: same applied/withheld
                          * accounting for the health dimension. */
                        healthHintsApplied: Int = 0,
-                       healthHintsWithheld: Int = 0)
+                       healthHintsWithheld: Int = 0,
+                       /** sitemap probed-host state join: same applied/
+                         * withheld accounting for the probed dimension. */
+                       sitemapHintsApplied: Int = 0,
+                       sitemapHintsWithheld: Int = 0)
 
   /** run()-path a-priori initial state: hints + the deferred wave-0 commit
     * (committed asynchronously on the inFlight rail, awaited before the
@@ -170,7 +174,13 @@ object CrawlDriver {
         * acquisition maps; the DISTRIBUTED seed path counts the acquired
         * rows on the executors and passes the total here — the maps stay
         * empty there by design. */
-      robotsRows0: Option[Long] = None)
+      robotsRows0: Option[Long] = None,
+      /** cfg.fetchSitemaps: the seed hosts probed at wave 0 (their
+        * `sitemap_hosts` rows ride the async wave-0 commit, so wave 1's
+        * first-encounter anti-join reads this in-memory copy) plus the
+        * probed-host count backing the broadcast hint. */
+      smHosts0: Option[DataFrame] = None,
+      smRows0: Long = 0L)
 
   /** Driver-tracked broadcast-hint-or-withhold for an RDD-backed dimension
     * (checkpointed/cached dims have no size stats, so Spark would SMJ the
@@ -264,6 +274,68 @@ object CrawlDriver {
     (ruleRows, hostRows, res)
   }
 
+  /** Distributed sitemap probe over a (host, __smok) DataFrame
+    * (cfg.fetchSitemaps): `http://<host>/sitemap.xml` fetched + parsed ON
+    * EXECUTORS exactly like robots acquisition; `__smok` = the host's
+    * robots rules allow the "/sitemap.xml" path (a denied host is
+    * recorded probed with zero entries — ONE probe decision per host,
+    * ever, whatever it yields). Cross-host entries are dropped inside the
+    * shared parser ([[graft.functions.Sitemap.entries]]). The (host,
+    * locs) result is localCheckpointed: one fetch per host feeds the
+    * candidate chain, the probed-state update AND the async commit append
+    * — the caller must hand it to the checkpoint-release queue.
+    */
+  private def probeSitemapsDf(spark: SparkSession, fetcher: PageFetcher,
+      gated: DataFrame): DataFrame = {
+    import spark.implicits._
+    val f = fetcher
+    gated.select($"host", $"__smok").as[(String, Boolean)]
+      .mapPartitions(_.map { case (h, ok) =>
+        val entries =
+          if (!ok) Vector.empty[String]
+          else f.fetchSitemap(h) match {
+            case Some(body) => graft.functions.Sitemap.entries(h, body).toVector
+            case None       => Vector.empty[String]
+          }
+        (h, entries)
+      })
+      .toDF("host", "locs")
+      .localCheckpoint(false)
+  }
+
+  /** A sitemap probe's entries as admission-chain candidate rows. The
+    * provenance keys (src_pri=Int.MaxValue, src_dt=0, src_url=host,
+    * link_idx=entry index) sort every sitemap candidate AFTER every
+    * page-derived candidate of the wave (page src_pri is a BFS depth,
+    * always far below MaxValue) and order sitemap candidates by
+    * (host ASC, entry index ASC) — exactly the oracle's admission order
+    * (model point 13); entries enter at depth 1. `__smok` marks in-scope
+    * rows (scope-filtered entries are counted, never admitted).
+    */
+  private def sitemapCandidateRows(res: DataFrame, scope: UrlScope): DataFrame = {
+    val scopeOk = udf((u: String) => scope.allows(u))
+    res.select(col("host"), posexplode(col("locs")).as(Seq("link_idx", "url")))
+      .select(col("url").as("canonical_url"), col("host"),
+        xxhash64(col("host")).as("host_hash"), lit(1).as("depth"),
+        lit(Int.MaxValue).as("src_pri"), lit(0L).as("src_dt"),
+        col("host").as("src_url"), col("link_idx"),
+        scopeOk(col("url")).as("__smok"))
+  }
+
+  /** First-occurrence dedup across a wave's candidate rows (D1/D2): keep
+    * the (src_pri, src_dt, src_url, link_idx)-minimal sighting per
+    * canonical_url — admission order, same as the oracle.
+    */
+  private def firstSightings(candidates: DataFrame): DataFrame =
+    candidates
+      .groupBy(col("canonical_url"))
+      .agg(min(struct(col("src_pri"), col("src_dt"), col("src_url"),
+        col("link_idx"), col("host"), col("host_hash"), col("depth"))).as("f"))
+      .select(col("canonical_url"), col("f.host").as("host"),
+        col("f.host_hash").as("host_hash"), col("f.depth").as("depth"),
+        col("f.src_pri").as("src_pri"), col("f.src_dt").as("src_dt"),
+        col("f.src_url").as("src_url"), col("f.link_idx").as("link_idx"))
+
   /** Robots-at-admission for TABLE mode, shared by the wave loop and the
     * distributed seed-ingest path so admission semantics cannot drift:
     * LATEST-WAVE-WINS rule resolution (a host's most recent fetch event —
@@ -325,6 +397,28 @@ object CrawlDriver {
       })
       .collect()
       .map(t => HostRobots(t._1, t._2, t._3, t._4)).toSeq
+  }
+
+  /** Fetch+parse `/sitemap.xml` for each (robots-allowed) host ON
+    * EXECUTORS, entries collected back per host — the SMALL-SEED-PATH
+    * companion of [[probeSitemapsDf]] (that path's admission is a driver
+    * loop over the ≤ seedIngestLocalMax seed list by design, so the
+    * entry lists come back to it; the wave loop and the distributed seed
+    * ingest route through [[probeSitemapsDf]] and never collect them).
+    */
+  private def fetchSitemapsDistributed(spark: SparkSession, fetcher: PageFetcher,
+      hosts: Seq[String]): Map[String, Seq[String]] = {
+    import spark.implicits._
+    if (hosts.isEmpty) Map.empty
+    else spark.createDataset(hosts.toIndexedSeq)
+      .repartition(math.min(hosts.length,
+        math.max(1, spark.sessionState.conf.numShufflePartitions)))
+      .mapPartitions(_.map { h =>
+        (h, fetcher.fetchSitemap(h)
+          .map(b => graft.functions.Sitemap.entries(h, b).toVector)
+          .getOrElse(Vector.empty[String]))
+      })
+      .collect().toMap
   }
 
   /** Merge distributed robots-acquisition results into the host-keyed
@@ -390,6 +484,15 @@ object CrawlDriver {
   // host dimension. Keyed by host_hash like the admission-cap counts (the
   // same documented ~3e-6 collision bias at 10^7 hosts).
   private val HostHealth = "host_health"
+
+  // ---- sitemap-ingestion layout (cfg.fetchSitemaps) -----------------------
+  // `sitemap_hosts` is append-only and wave-stamped: one row per host EVER
+  // probed for `/sitemap.xml` (sitemap served or not, robots-allowed or
+  // not), appended at the probing wave — membership alone carries the
+  // "one probe per host, ever" rule, so reads need no recency resolution
+  // and the table stays host-dimension-sized. Resume reads it back; runs
+  // with the flag off append nothing.
+  private val SitemapHosts = "sitemap_hosts"
   // rows are clustered by `shard` = pmod(content_hash, bloomShards) on
   // write, so the store-mode per-wave check scans only the bands the
   // wave's fingerprints touch (filter pushed to parquet row groups) —
@@ -404,6 +507,10 @@ object CrawlDriver {
     "host_hash BIGINT, __consec BIGINT, __until INT")
   private def robotsRulesSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "host STRING, path_prefix STRING, allow BOOLEAN, rule_order INT, wave INT")
+  private def sitemapHostsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "host STRING, wave INT")
+  private def sitemapStateSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "host STRING")
   private def robotsHostsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "host STRING, budget INT, wave INT")
 
@@ -605,7 +712,52 @@ object CrawlDriver {
       val ok = RobotsEval.allowed(rulesByHost.getOrElse(h, Nil), CanonicalUrl.path(u))
       (u, h, XxHash64.hashString(h), 0, seq, 0, 0, ok)
     }
-    val seedDf = seedRows
+
+    // ---- wave-0 SITEMAP ingestion (cfg.fetchSitemaps, oracle model
+    // point 13): the seed list is wave 0's candidate set, so every seed
+    // host is probed once — robots-gated on "/sitemap.xml", fetched ON
+    // EXECUTORS like seed robots acquisition — and the same-host entries
+    // admit AFTER every seed, ordered (host ASC, entry index ASC) at
+    // depth 1 through scope → seen-dedup → host cap → robots, exactly
+    // the oracle's seed-phase pass. The admission loop runs driver-side
+    // like the rest of this convenience path (≤ seedIngestLocalMax seeds
+    // by construction); the distributed seed path carries the
+    // executor-side equivalent.
+    val smHostRows: Seq[String] =
+      if (!cfg.fetchSitemaps) Nil else seedRows.map(_._2).distinct
+    val smRows: Seq[(String, String, Long, Int, Long, Int, Int, Boolean)] =
+      if (!cfg.fetchSitemaps) Nil
+      else {
+        val gated = smHostRows.filter(h =>
+          RobotsEval.allowed(rulesByHost.getOrElse(h, Nil), "/sitemap.xml"))
+        val entriesByHost = fetchSitemapsDistributed(spark, cfg.fetcher, gated)
+        val seenSet = scala.collection.mutable.HashSet.empty[String]
+        val hostAdm = scala.collection.mutable.HashMap.empty[String, Long]
+        seedRows.foreach { r =>
+          seenSet += r._1
+          hostAdm.update(r._2, hostAdm.getOrElse(r._2, 0L) + 1L)
+        }
+        var seq = seedRows.size.toLong
+        val out = Seq.newBuilder[(String, String, Long, Int, Long, Int, Int, Boolean)]
+        smHostRows.sorted.foreach { h =>
+          entriesByHost.getOrElse(h, Nil).foreach { c =>
+            if (cfg.scope.allows(c) && 1 <= cfg.maxDepth && !seenSet.contains(c)) {
+              val ch = CanonicalUrl.host(c) // == h (same-host by the parser)
+              if (hostAdm.getOrElse(ch, 0L) < cfg.maxUrlsPerHost) {
+                seenSet += c
+                hostAdm.update(ch, hostAdm.getOrElse(ch, 0L) + 1L)
+                val ok = RobotsEval.allowed(rulesByHost.getOrElse(ch, Nil),
+                  CanonicalUrl.path(c))
+                out += ((c, ch, XxHash64.hashString(ch), 1, seq, 1, 0, ok))
+                seq += 1
+              }
+            }
+          }
+        }
+        out.result()
+      }
+    val allRows = seedRows ++ smRows
+    val seedDf = allRows
       .toDF("canonical_url", "host", "host_hash", "priority", "discovery_time",
         "depth", "attempts", "allowed")
 
@@ -636,6 +788,13 @@ object CrawlDriver {
         wave0.append(RobotsRules, rdf).append(RobotsHosts, hdf)
         Some((rdf, hdf))
       }
+    val smHosts0: Option[DataFrame] =
+      if (!cfg.fetchSitemaps) None
+      else {
+        val df = smHostRows.map(h => (h, 0)).toDF("host", "wave")
+        wave0.append(SitemapHosts, df)
+        Some(df.select($"host"))
+      }
     wave0
       .append("seen", seen0.repartition(col("shard")).sortWithinPartitions("shard"))
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
@@ -645,12 +804,13 @@ object CrawlDriver {
       .declare(Duplicates, org.apache.spark.sql.Encoders.product[DuplicateRow].schema)
       .declare(ContentSeen, contentSeenSchema)
       .declare(HostHealth, hostHealthSchema)
+      .declare(SitemapHosts, sitemapHostsSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "shard_fan" -> eng.bloomShards.toString,
         "seeds" -> seedsCanonical.size.toString,
-        "admitted" -> seedRows.size.toString,
-        "next_discovery_seq" -> seedRows.size.toString,
+        "admitted" -> allRows.size.toString,
+        "next_discovery_seq" -> allRows.size.toString,
         "fetched_total" -> "0")
 
     // run()-path fast start (small-seed path): the seeds are driver-
@@ -667,7 +827,7 @@ object CrawlDriver {
           case "bloom" => ShardedBloom.sized(eng.bloomShards, eng.bloomItemsPerShard, eng.bloomFpp)
           case _       => ShardedCuckoo.sized(eng.bloomShards, eng.bloomItemsPerShard)
         }
-        seedRows.foreach { case (u, _, hh, _, _, _, _, _) =>
+        allRows.foreach { case (u, _, hh, _, _, _, _, _) =>
           f match {
             case b: ShardedBloom  => b.insert(u, hh)
             case c: ShardedCuckoo => c.insert(u, hh)
@@ -681,10 +841,12 @@ object CrawlDriver {
       pending = pending0.toDF(),
       seen0 = seen0,
       filter = initFilter,
-      nextSeq = seedRows.size.toLong,
-      pendingCount = seedRows.count(_._8).toLong,
+      nextSeq = allRows.size.toLong,
+      pendingCount = allRows.count(_._8).toLong,
       wave0Commit = wave0,
-      robotsDelta = robots0)), onWaveEnd = onWaveEnd)
+      robotsDelta = robots0,
+      smHosts0 = smHosts0,
+      smRows0 = smHostRows.size.toLong)), onWaveEnd = onWaveEnd)
   }
 
   /** Schema of the distributed seed-ingest input: the raw operator-given
@@ -795,20 +957,120 @@ object CrawlDriver {
         numbered.withColumn("__allowed", allowedU($"canonical_url"))
       }
 
+    val nSeeds = numbered.count()
+
+    // ---- wave-0 SITEMAP ingestion (cfg.fetchSitemaps, oracle model
+    // point 13), FULLY DISTRIBUTED like everything else on this path: the
+    // seed hosts are wave 0's candidate set — each is probed once
+    // (robots-gated on "/sitemap.xml" through the mode's own admission
+    // check), entries explode into candidate rows that dedup internally,
+    // anti-join the seeds (seed sightings win), rank under the host cap,
+    // number after the seeds and pass robots admission — never a loc
+    // string on the driver.
+    val tableFetch = cfg.fetchRobotsTxt && tableRobots
+    def admitRobots(df: DataFrame): DataFrame =
+      if (tableFetch) {
+        val hint: DataFrame => DataFrame =
+          if (robotsRows0 <= eng.robotsBroadcastMaxRows) broadcast(_)
+          else identity
+        robotsAdmissionJoin(spark, df, robots0.get._1, robots0.get._2, hint)
+      } else {
+        val rb = spark.sparkContext.broadcast(rulesByHost)
+        val allowedU = udf((u: String) =>
+          RobotsEval.allowed(rb.value.getOrElse(CanonicalUrl.host(u), Nil),
+            CanonicalUrl.path(u)))
+        df.withColumn("__allowed", allowedU($"canonical_url"))
+      }
+    var smHosts0: Option[DataFrame] = None
+    var smRows0 = 0L
+    var smTableRows: Option[DataFrame] = None
+    val locAllowedDf: Option[DataFrame] =
+      if (!cfg.fetchSitemaps) None
+      else {
+        val probe = numbered.select($"host").distinct().select(
+          concat(lit("http://"), $"host", lit("/sitemap.xml"))
+            .as("canonical_url"),
+          $"host", xxhash64($"host").as("host_hash"),
+          lit(0).as("priority"), lit(0L).as("discovery_time"),
+          lit(0).as("depth"))
+        val gated = admitRobots(probe)
+          .select($"host", $"__allowed".as("__smok"))
+        val res = probeSitemapsDf(spark, cfg.fetcher, gated)
+        seedCkpts ::= res
+        val stats = res.agg(count(lit(1)),
+          coalesce(sum(size($"locs")), lit(0L))).head()
+        smRows0 = stats.getLong(0)
+        val locTotal = stats.getLong(1)
+        // the probed-host STATE outlives the bootstrap release schedule
+        // (res is freed after wave 3, but the state plan is re-evaluated
+        // by every later wave's anti-join until the next probe replaces
+        // it) — so it gets its own eagerly-materialized checkpoint, owned
+        // by the loop's state chain like every chained state
+        val smdf = res.select($"host").localCheckpoint(false)
+        smdf.count()
+        smHosts0 = Some(smdf)
+        smTableRows = Some(res.select($"host", lit(0).as("wave")))
+        if (locTotal == 0 || cfg.maxDepth < 1) None
+        else {
+          val rows = sitemapCandidateRows(res, cfg.scope)
+          val locFirst = firstSightings(rows.filter($"__smok").drop("__smok"))
+            .join(numbered.select($"canonical_url"), Seq("canonical_url"),
+              "left_anti")
+          val capped =
+            if (cfg.maxUrlsPerHost == Long.MaxValue) locFirst
+            else {
+              // seeds (denied included — they occupy seen) count toward
+              // the cap; in-wave rank in admission order
+              val counts = numbered.groupBy($"host_hash")
+                .agg(count(lit(1)).as("__hc"))
+              val w = Window.partitionBy($"host_hash")
+                .orderBy($"src_pri", $"src_dt", $"src_url", $"link_idx")
+              locFirst.withColumn("__hrk", row_number().over(w))
+                .join(counts, Seq("host_hash"), "left")
+                .filter($"__hrk" <=
+                  lit(cfg.maxUrlsPerHost) - coalesce($"__hc", lit(0L)))
+                .drop("__hrk", "__hc")
+            }
+          val locNumbered = withGlobalSeq(capped,
+              Seq("src_pri", "src_dt", "src_url", "link_idx"), "__rank",
+              onCheckpoint = ck => seedCkpts ::= ck)
+            .withColumn("discovery_time", $"__rank" + lit(nSeeds))
+            .withColumn("priority", $"depth")
+            .drop("__rank", "src_pri", "src_dt", "src_url", "link_idx")
+          val l = admitRobots(locNumbered).localCheckpoint(false)
+          seedCkpts ::= l
+          Some(l)
+        }
+      }
+    val locSeenCount = locAllowedDf.map(_.count()).getOrElse(0L)
+    val nAdmitted = nSeeds + locSeenCount
+
     // localCheckpoint: the admission join output feeds the count below, the
     // async wave-0 commit write AND wave 1's selection — materialize it once
     // (at admittedCount) instead of re-running the host-join/groupBy three
     // times over the full seed set. Released by the loop's own pendingDF
     // schedule (superseded at wave 1's end, or the exit path).
-    val pending0 = withAllowed.filter($"__allowed").drop("__allowed")
-      .withColumn("attempts", lit(0))
-      .select(frontierSchema.fieldNames.map(col).toIndexedSeq: _*)
-      .localCheckpoint(false)
-    // seen carries ALL canonical seeds — denied ones occupy seen only
-    val seen0 = numbered.select($"canonical_url", $"host_hash")
-      .withColumn("shard",
+    val fcols0 = frontierSchema.fieldNames.map(col).toIndexedSeq
+    val pending0 = {
+      val seedsPart = withAllowed.filter($"__allowed").drop("__allowed")
+        .withColumn("attempts", lit(0))
+        .select(fcols0: _*)
+      locAllowedDf match {
+        case Some(l) => seedsPart.unionByName(
+          l.filter($"__allowed").drop("__allowed")
+            .withColumn("attempts", lit(0)).select(fcols0: _*))
+        case None => seedsPart
+      }
+    }.localCheckpoint(false)
+    // seen carries ALL canonical seeds (and every sitemap entry surviving
+    // to the robots check) — denied ones occupy seen only
+    val seen0 = {
+      val s = numbered.select($"canonical_url", $"host_hash")
+      locAllowedDf
+        .map(l => s.unionByName(l.select($"canonical_url", $"host_hash")))
+        .getOrElse(s)
+    }.withColumn("shard",
         pmod($"host_hash", lit(eng.bloomShards.toLong)).cast("int"))
-    val nSeeds = numbered.count()
     val admittedCount = pending0.count()
 
     val wave0 = store.beginCommit()
@@ -819,6 +1081,7 @@ object CrawlDriver {
     robots0.foreach { case (rdf, hdf) =>
       wave0.append(RobotsRules, rdf).append(RobotsHosts, hdf)
     }
+    smTableRows.foreach(wave0.append(SitemapHosts, _))
     wave0
       .append("seen", seen0.repartition(col("shard")).sortWithinPartitions("shard"))
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
@@ -828,12 +1091,13 @@ object CrawlDriver {
       .declare(Duplicates, org.apache.spark.sql.Encoders.product[DuplicateRow].schema)
       .declare(ContentSeen, contentSeenSchema)
       .declare(HostHealth, hostHealthSchema)
+      .declare(SitemapHosts, sitemapHostsSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "shard_fan" -> eng.bloomShards.toString,
         "seeds" -> nSeeds.toString,
-        "admitted" -> nSeeds.toString,
-        "next_discovery_seq" -> nSeeds.toString,
+        "admitted" -> nAdmitted.toString,
+        "next_discovery_seq" -> nAdmitted.toString,
         "fetched_total" -> "0")
 
     loop(spark, cfg, store, eng, rulesByHost, budgetsByHost, knownHosts,
@@ -844,11 +1108,13 @@ object CrawlDriver {
         // via the executor-side shard aggregator — never URL-by-URL on the
         // driver like the small-seed path's in-process build
         filter = None,
-        nextSeq = nSeeds,
+        nextSeq = nAdmitted,
         pendingCount = admittedCount,
         wave0Commit = wave0,
         robotsDelta = robots0,
-        robotsRows0 = if (tableRobots) Some(robotsRows0) else None)),
+        robotsRows0 = if (tableRobots) Some(robotsRows0) else None,
+        smHosts0 = smHosts0,
+        smRows0 = smRows0)),
       bootstrapCkpts = seedCkpts,
       onWaveEnd = onWaveEnd)
   }
@@ -1230,6 +1496,33 @@ object CrawlDriver {
       healthMaxUntil = r.getInt(1)
     }
     val hintHealth = new DimensionHint(eng.robotsBroadcastMaxRows, () => healthRowsApprox)
+
+    // ---- SITEMAP probed-host state (cfg.fetchSitemaps, oracle model
+    // point 13): the set of hosts ever probed for /sitemap.xml — chained
+    // through eagerly materialized localCheckpoints on probing waves like
+    // the other host-dimension states. Durable copy = the wave-stamped
+    // `sitemap_hosts` table (resume reads it back; flag-off runs record
+    // nothing, so enabling at resume probes hosts on their next candidate
+    // re-encounter — matches the oracle). A steady-state wave (no new
+    // hosts) pays one anti-join over the wave's candidate-host dimension.
+    val smActive = cfg.fetchSitemaps
+    var smState: DataFrame =
+      if (!smActive) null
+      else fast.flatMap(_.smHosts0).getOrElse {
+        if (fast.isEmpty && store.currentManifest.exists(_.tables.contains(SitemapHosts)))
+          store.read(SitemapHosts).select($"host")
+        else emptyDf(spark, sitemapStateSchema)
+      }
+    // floored at 1 like the other state hints: an empty state must not
+    // dodge the forced-withheld test seam at bound 0
+    var smRowsApprox: Long =
+      if (!smActive) 0L
+      else math.max(1L, fast.map(_.smRows0).getOrElse {
+        if (store.currentManifest.exists(_.tables.contains(SitemapHosts)))
+          store.read(SitemapHosts).count()
+        else 0L
+      })
+    val hintSm = new DimensionHint(eng.robotsBroadcastMaxRows, () => smRowsApprox)
 
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
     // store is the durable/resume copy, written asynchronously off the
@@ -1643,13 +1936,7 @@ object CrawlDriver {
         // ---- D1/D2: first-occurrence dedup across the wave (covers in-page):
         // keep the (source frontier keys, link_idx)-minimal sighting per
         // canonical_url — admission order, same as the oracle
-        val firstSeen = candidates
-          .groupBy($"canonical_url")
-          .agg(min(struct($"src_pri", $"src_dt", $"src_url", $"link_idx",
-            $"host", $"host_hash", $"depth")).as("f"))
-          .select($"canonical_url", $"f.host".as("host"), $"f.host_hash".as("host_hash"),
-            $"f.depth".as("depth"), $"f.src_pri".as("src_pri"), $"f.src_dt".as("src_dt"),
-            $"f.src_url".as("src_url"), $"f.link_idx".as("link_idx"))
+        val firstSeen = firstSightings(candidates)
 
         // ---- D3: bloom/cuckoo pre-filter. broadcast mode: executor-local
         // probe of the broadcast filter (no shuffle of seen). lazy mode:
@@ -1657,23 +1944,26 @@ object CrawlDriver {
         // then the probe lazily loads exactly those shard files through the
         // per-executor generation-keyed cache — membership tests never move
         // the seen-set OR the whole filter (north_star at 10^10 scale).
-        val tagged =
-          if (!useFilter) firstSeen.withColumn("__maybe", lit(true)).cache()
+        // (Shared with the sitemap candidates below, whose rows join the
+        // chain after robots acquisition.)
+        def probeSeen(df: DataFrame): DataFrame =
+          if (!useFilter) df.withColumn("__maybe", lit(true))
           else if (lazyFilters) {
             val ss = shardStore.get
             val gen = filterGen
             val probeU = udf((url: String, hh: Long) =>
               graft.sources.FilterShardStore.probe(ss, gen, url, hh))
-            firstSeen
+            df
               .repartition(math.max(1, spark.sessionState.conf.numShufflePartitions),
                 pmod($"host_hash", lit(nsh.toLong)))
-              .withColumn("__maybe", probeU($"canonical_url", $"host_hash")).cache()
+              .withColumn("__maybe", probeU($"canonical_url", $"host_hash"))
           } else {
             val bloomLocal = bloomB
             val mightBeSeen =
               udf((url: String, hh: Long) => bloomLocal.value.mightContain(url, hh))
-            firstSeen.withColumn("__maybe", mightBeSeen($"canonical_url", $"host_hash")).cache()
+            df.withColumn("__maybe", mightBeSeen($"canonical_url", $"host_hash"))
           }
+        val tagged = probeSeen(firstSeen).cache()
         // ---- S7 (fetchRobotsTxt mode): robots ACQUISITION inside the wave.
         // Hosts first encountered this wave get `<host>/robots.txt` fetched
         // through the PageFetcher ON EXECUTORS (robots fetch is network-
@@ -1733,8 +2023,77 @@ object CrawlDriver {
             (ruleRows, hostRows)
           }
 
-        val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe")
-        val maybeSeen = tagged.filter($"__maybe").drop("__maybe")
+        // ---- SITEMAP ingestion (cfg.fetchSitemaps, oracle model point
+        // 13): hosts making their first-EVER candidate appearance this
+        // wave (anti-join vs the probed-host state) get ONE probe of
+        // `http://<host>/sitemap.xml` — gated on the host's robots rules
+        // allowing the "/sitemap.xml" path under the same resolution as
+        // URL admission (broadcast probe or latest-wave-wins table join),
+        // fetched + parsed ON EXECUTORS. The same-host entries enter THIS
+        // wave's admission chain AFTER every page-derived candidate:
+        // page sightings win the in-wave dedup (anti-join against the
+        // page candidates), internal duplicates collapse to the least
+        // (host, entry index) sighting, and the rows ride the same bloom
+        // probe / seen anti-join / host cap / numbering / robots guards
+        // as any discovered link, at depth 1.
+        var smRes: Option[DataFrame] = None
+        val (smProbed, smTotal): (Long, Long) =
+          if (!smActive) (0L, 0L)
+          else {
+            val newSm = tagged.select($"host").distinct()
+              .join(hintSm(smState), Seq("host"), "left_anti")
+            val gated: DataFrame =
+              if (!tableRobots) {
+                val rb = robotsCur
+                val gateU = udf((h: String) =>
+                  RobotsEval.allowed(rb.value.getOrElse(h, Nil), "/sitemap.xml"))
+                newSm.withColumn("__smok", gateU($"host"))
+              } else {
+                // probe the literal "/sitemap.xml" path through the shared
+                // admission join (synthetic keys; only __allowed matters)
+                val probe = newSm.select(
+                  concat(lit("http://"), $"host", lit("/sitemap.xml"))
+                    .as("canonical_url"),
+                  $"host", xxhash64($"host").as("host_hash"),
+                  lit(0).as("priority"), lit(0L).as("discovery_time"),
+                  lit(0).as("depth"))
+                robotsAdmissionJoin(spark, probe,
+                  rulesKnown.unionByName(newRuleRows),
+                  hostsKnown.unionByName(newHostRows), hintRobots)
+                  .select($"host", $"__allowed".as("__smok"))
+              }
+            val res = probeSitemapsDf(spark, fetcher, gated)
+            smRes = Some(res)
+            val r = res.agg(count(lit(1)),
+              coalesce(sum(size($"locs")), lit(0L))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+        val (locTagged, smInScopeTotal, smCappedTotal): (Option[DataFrame], Long, Long) =
+          smRes match {
+            case Some(res) if smTotal > 0 =>
+              val rows = sitemapCandidateRows(res, scope)
+              val smInScope = rows.filter($"__smok").count()
+              if (maxDepthL < 1L) (None, smInScope, smInScope) // all capped
+              else {
+                val locFirst = firstSightings(rows.filter($"__smok").drop("__smok"))
+                  .join(tagged.select($"canonical_url"), Seq("canonical_url"), "left_anti")
+                (Some(probeSeen(locFirst).cache()), smInScope, 0L)
+              }
+            case _ => (None, 0L, 0L)
+          }
+        val smFilteredTotal = smTotal - smInScopeTotal
+        // fold the sitemap candidates into the wave arithmetic exactly
+        // like page links: evaluated entries extend the candidate total,
+        // scope-filtered and depth-capped ones their counters; the
+        // remainder classifies as deduped/host-capped/discovered
+        // downstream, same as the oracle
+        val candTotalAll = candTotalEff + smInScopeTotal
+        val cappedTotalAll = cappedTotalEff + smCappedTotal
+        val filteredTotalAll = filteredTotalEff + smFilteredTotal
+
+        val taggedAll = locTagged.map(tagged.unionByName(_)).getOrElse(tagged)
+        val definitelyNew = taggedAll.filter(!$"__maybe").drop("__maybe")
+        val maybeSeen = taggedAll.filter($"__maybe").drop("__maybe")
 
         // ---- D4: exact anti-join of ONLY the bloom-maybe rows vs seen.
         // cached mode: in-memory slices. store mode (the 10^10-scale path):
@@ -1784,7 +2143,7 @@ object CrawlDriver {
         // (source-page frontier keys, link_idx)
         val numbered = withGlobalSeq(newUrls,
           Seq("src_pri", "src_dt", "src_url", "link_idx"), "__rank",
-          sizeHint = candTotalEff, onCheckpoint = ck => waveSeqCkpts ::= ck,
+          sizeHint = candTotalAll, onCheckpoint = ck => waveSeqCkpts ::= ck,
           windowMax = eng.seqWindowMax)
           .withColumn("discovery_time", $"__rank" + lit(nextSeq))
           .withColumn("priority", $"depth")
@@ -1899,7 +2258,7 @@ object CrawlDriver {
           val tail = WaveMetrics(wave, -1, 0L, 0L, discovered,
             // deduped = in-wave or vs-seen collapses (later in-wave
             // sightings of a host-capped URL count here, like the oracle)
-            candTotalEff - cappedTotalEff - hostCappedTotal - discovered,
+            candTotalAll - cappedTotalAll - hostCappedTotal - discovered,
             denied, deferredCount)
           base :+ tail
         }
@@ -1959,6 +2318,11 @@ object CrawlDriver {
         }
         if (erroredTotal > 0) commitBuilder.append("errors", errorRows)
         if (redirectedTotal > 0) commitBuilder.append("redirects", redirectRows)
+        // probed hosts ride the wave commit (one row per host, ever —
+        // appends across waves are disjoint by the anti-join above)
+        if (smProbed > 0)
+          commitBuilder.append(SitemapHosts,
+            smRes.get.select($"host", lit(wave).as("wave")))
         // backoff state rides the wave commit: changed rows only,
         // wave-stamped, latest-wave-wins on read-back
         if (healthChangedCount > 0)
@@ -1997,11 +2361,12 @@ object CrawlDriver {
             "wave_requeued" -> requeuedTotal.toString,
             "wave_errored" -> erroredTotal.toString,
             "wave_redirected" -> redirectedTotal.toString,
-            "wave_depth_capped" -> cappedTotalEff.toString,
-            "wave_scope_filtered" -> filteredTotalEff.toString,
+            "wave_depth_capped" -> cappedTotalAll.toString,
+            "wave_scope_filtered" -> filteredTotalAll.toString,
             "wave_host_capped" -> hostCappedTotal.toString,
             "wave_content_dup" -> contentDupTotal.toString,
-            "wave_backoff_deferred" -> backoffDeferredCount.toString)
+            "wave_backoff_deferred" -> backoffDeferredCount.toString,
+            "wave_sitemap_urls" -> smTotal.toString)
         val doDelta = useFilter && discovered > 0
         val filterNow = bloomB
         val genNow = filterGen
@@ -2099,12 +2464,23 @@ object CrawlDriver {
           healthRowsApprox = math.max(1L, healthState.count())
           healthMaxUntil = math.max(healthMaxUntil, healthChangedMaxUntil)
         }
+        // fold this wave's probed hosts into the sitemap state and
+        // re-checkpoint — same eager-materialization discipline (and exact
+        // broadcast-hint bound) as the other host-dimension states; the
+        // release of the initial parquet-read "checkpoint" is a no-op
+        val supersededSm =
+          if (smActive && smProbed > 0) List(smState) else Nil
+        if (smActive && smProbed > 0) {
+          smState = smState.unionByName(smRes.get.select($"host"))
+            .localCheckpoint(false)
+          smRowsApprox = math.max(1L, smState.count())
+        }
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++
-          capTagged ++ contentTagged ++ backoffMarked ++ healthUpd
+          capTagged ++ contentTagged ++ backoffMarked ++ healthUpd ++ locTagged
         ckptPrev = ckptPrev ++ ckptCur
         ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
           waveSeqCkpts ++ supersededCounts ++ supersededContent ++
-          supersededHealth ++
+          supersededHealth ++ smRes ++ supersededSm ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
         bootstrapRes = Nil
         if (cachedSeen) {
@@ -2153,7 +2529,8 @@ object CrawlDriver {
     // checkpoint (the exit-path awaitInFlight ran, so no consumer
     // survives), and reclaim superseded filter generations
     (ckptPrev ++ ckptCur ++ bootstrapRes ++ Option(hostCounts) ++
-      Option(contentSeenState) ++ Option(healthState) :+ pendingDF)
+      Option(contentSeenState) ++ Option(healthState) ++ Option(smState) :+
+      pendingDF)
       .foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
     seenSlices.foreach { s =>
       s.unpersist()
@@ -2164,7 +2541,8 @@ object CrawlDriver {
     RunHandle(store, wavesRun, fetchedTotal, filterBroadcasts, maxSeenSlices,
       hintRobots.applied, hintRobots.withheld, hintCounts.applied,
       hintCounts.withheld, hintContent.applied, hintContent.withheld,
-      hintHealth.applied, hintHealth.withheld)
+      hintHealth.applied, hintHealth.withheld,
+      hintSm.applied, hintSm.withheld)
   }
 
   /** Expire URLs — the deletion-safe-dedup flow the cuckoo variant exists

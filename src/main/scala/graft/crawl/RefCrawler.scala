@@ -18,7 +18,8 @@ case class WaveTotals(
     scope_filtered: Long = 0L,
     host_capped: Long = 0L,
     content_dup: Long = 0L,
-    backoff_deferred: Long = 0L)
+    backoff_deferred: Long = 0L,
+    sitemap_urls: Long = 0L)
 
 /** Sequential, Spark-free oracle crawler — the BINDING semantics
   * (SURVEY.md §1.4; the reference mount is empty, so this deterministic
@@ -99,7 +100,22 @@ case class WaveTotals(
   *     with the feature off nothing is recorded, so a phase-2 enable
   *     starts every host healthy (and a phase-2 disable ignores phase-1
   *     quarantines).
-  * 13. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
+  * 13. SITEMAP ingestion ([[CrawlConfig.fetchSitemaps]]): every host, on
+  *     its FIRST-EVER appearance among a wave's candidate URLs
+  *     (post-scope, post-depth-cap, dedup outcome irrelevant; seeds
+  *     included — the seed list is "wave 0"'s candidate set), is probed
+  *     ONCE for `http://<host>/sitemap.xml` at END of the wave's page
+  *     admissions — gated on the host's robots rules allowing the
+  *     "/sitemap.xml" path. Hosts are probed in sorted order; each
+  *     sitemap's same-host entries ([[graft.functions.Sitemap.entries]])
+  *     are admitted in document order at depth 1 through the standard
+  *     guards (scope → depth cap → seen-dedup → host cap → robots), so
+  *     the wave's admission order is: every page-derived candidate, then
+  *     (host ASC, entry index ASC). A probe happens once per host ever
+  *     (sitemap or none, allowed or robots-denied), persists across
+  *     [[runPhased]] phases; with the flag off nothing is recorded, so a
+  *     phase-2 enable probes hosts on their next candidate re-encounter.
+  * 14. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
   *     (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
@@ -189,6 +205,11 @@ class RefCrawler(cfg: CrawlConfig) {
     // while cur.hostBackoff is set (feature-off phases record nothing)
     val consecFails = mutable.HashMap.empty[String, Int]
     val quarantinedUntil = mutable.HashMap.empty[String, Int]
+    // sitemap state (model point 13): hosts ever probed (persists across
+    // phases; mutated only while cur.fetchSitemaps — feature-off phases
+    // record nothing) and the current wave's candidate-host set
+    val sitemapDone = mutable.HashSet.empty[String]
+    val waveCandidateHosts = mutable.HashSet.empty[String]
     val totals = mutable.ArrayBuffer.empty[WaveTotals]
     var nextSeq = 0L
     var fetchedTotal = 0L
@@ -208,7 +229,16 @@ class RefCrawler(cfg: CrawlConfig) {
     val hostCappedUrlsInWave = mutable.HashSet.empty[String]
     def admit(canonical: String, depth: Int, seed: Boolean = false): (Long, Long, Long) = {
       if (depth > cur.maxDepth) { cappedInWave += 1; (0L, 0L, 0L) }
-      else if (seen.contains(canonical)) (0L, 1L, 0L)
+      else {
+        // model point 13: every candidate surviving scope + the depth cap
+        // marks its host encountered this wave, dedup outcome irrelevant
+        if (cur.fetchSitemaps)
+          waveCandidateHosts += CanonicalUrl.host(canonical)
+        admitPostCap(canonical, depth, seed)
+      }
+    }
+    def admitPostCap(canonical: String, depth: Int, seed: Boolean): (Long, Long, Long) = {
+      if (seen.contains(canonical)) (0L, 1L, 0L)
       else {
         val host = CanonicalUrl.host(canonical)
         if (!seed && hostAdmitted.getOrElse(host, 0L) >= cur.maxUrlsPerHost) {
@@ -228,7 +258,36 @@ class RefCrawler(cfg: CrawlConfig) {
       }
     }
 
+    // model point 13: probe the wave's first-ever candidate hosts (sorted)
+    // and admit their sitemap entries — AFTER every page-derived admission
+    // of the wave. Returns (entries evaluated, scope-filtered, discovered,
+    // deduped, denied); depth-capped entries count into cappedInWave via
+    // admit(). A probe is recorded once per host ever, whatever it yields.
+    def sitemapPass(): (Long, Long, Long, Long, Long) = {
+      var urls = 0L; var filt = 0L; var disc = 0L; var dd = 0L; var den = 0L
+      if (cur.fetchSitemaps) {
+        val hosts = waveCandidateHosts.toSeq.filterNot(sitemapDone).sorted
+        hosts.foreach { h =>
+          sitemapDone += h
+          if (RobotsEval.allowed(rulesFor(h), "/sitemap.xml"))
+            cur.fetcher.fetchSitemap(h).foreach { body =>
+              graft.functions.Sitemap.entries(h, body).foreach { c =>
+                urls += 1
+                if (!cur.scope.allows(c)) filt += 1
+                else {
+                  val (d, x, n) = admit(c, 1)
+                  disc += d; dd += x; den += n
+                }
+              }
+            }
+        }
+        waveCandidateHosts.clear()
+      }
+      (urls, filt, disc, dd, den)
+    }
+
     cur.seeds.foreach(s => admit(CanonicalUrl.canonicalize(s), depth = 0, seed = true))
+    sitemapPass() // seed hosts are wave 0's candidate set; counters discarded
 
     var wave = 1
     while (pending.nonEmpty && wave <= cur.maxWaves && fetchedTotal < cur.maxUrls) {
@@ -327,6 +386,11 @@ class RefCrawler(cfg: CrawlConfig) {
             redirectedThisWave += 1
         }
       }
+      // sitemap admissions (model point 13): after every page-derived
+      // admission of the wave, ordered (host ASC, entry index ASC)
+      val (smUrls, smFilt, smDisc, smDd, smDen) = sitemapPass()
+      filteredThisWave += smFilt
+      discovered += smDisc; deduped += smDd; denied += smDen
       fetchedTotal += fetchedThisWave
       // backoff quarantine decision at END of wave (model point 12): only
       // hosts selected this wave can have changed their count; crossing
@@ -341,7 +405,7 @@ class RefCrawler(cfg: CrawlConfig) {
       }
       totals += WaveTotals(wave, fetchedThisWave, discovered, deduped, denied,
         deferred.toLong, redirectedThisWave, cappedInWave, filteredThisWave,
-        hostCappedInWave, contentDupThisWave, backoffDeferred)
+        hostCappedInWave, contentDupThisWave, backoffDeferred, smUrls)
       wave += 1
       if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
         cur = cfg2

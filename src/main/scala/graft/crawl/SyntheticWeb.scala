@@ -48,6 +48,14 @@ object SyntheticWeb {
                          * redirect (chains arise organically).
                          */
                        redirectPct: Int = 0,
+                       /** percent of hosts that SERVE a sitemap at
+                         * `/sitemap.xml` — hash-derived from the host
+                         * alone (a property of the site). 0 (default): no
+                         * host serves one, so enabling the crawl-side
+                         * [[CrawlConfig.fetchSitemaps]] probe on a legacy
+                         * web config changes nothing.
+                         */
+                       sitemapHostPct: Int = 0,
                        /** >0: page CONTENT (the span sequence) derives not
                          * from the URL but from a hash-collapsed content
                          * key with this many distinct values — URLs
@@ -234,6 +242,53 @@ object SyntheticWeb {
       if (body.isEmpty) None
       else Some("User-agent: *\n" + body.mkString("\n") + "\n")
     }
+  }
+
+  /** The sitemap XML served at `http://<host>/sitemap.xml` — None for
+    * hosts outside the synthetic space or not selected by
+    * `sitemapHostPct`. Pure function of (host, cfg), like robots bodies.
+    * Entries: 3..12 `<loc>` values over the host's own page space in raw
+    * forms that exercise resolution/canonicalization (uppercase host,
+    * explicit :80, dot-segments, XML-entity escapes), ~1-in-8 duplicates
+    * (exercise first-occurrence dedup), and ~1-in-6 CROSS-HOST entries
+    * that the sitemaps.org cross-submission rule must drop.
+    */
+  def sitemapTxt(host: String, cfg: WebConfig): Option[String] = {
+    if (cfg.sitemapHostPct <= 0) return None
+    if (!(host.startsWith("host") && host.endsWith(".test"))) return None
+    val mid = host.substring(4, host.length - 5)
+    if (mid.isEmpty || !mid.forall(_.isDigit)) return None
+    val i = mid.toInt
+    if (i >= cfg.hosts) return None
+    if (fm(h(host + "|sm"), 100) >= cfg.sitemapHostPct) return None
+    val n = 3 + fm(h(host + "|smn"), 10) // 3..12 entries
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+    var j = 0
+    var prev: String = null
+    while (j < n) {
+      val hj = h(host + "|smloc|" + j)
+      val loc =
+        if (j > 0 && fm(hj >>> 48, 8) == 0) prev // ~1/8 duplicate entry
+        else {
+          val cross = fm(hj >>> 4, 6) == 0 // ~1/6 cross-host (dropped)
+          val tgtHost = if (cross) fm(hj >>> 12, cfg.hosts) else i
+          val k = fm(hj >>> 24, cfg.pagesPerHost)
+          fm(hj >>> 40, 5) match {
+            case 0 => s"http://HOST$tgtHost.TEST/p/$k"          // case-normalization
+            case 1 => s"http://host$tgtHost.test:80/p/$k"       // default port
+            case 2 => s"http://host$tgtHost.test/a/../p/$k"     // dot segments
+            case 3 => s"http://host$tgtHost.test/p/$k?a=1&amp;b=2" // entity escape
+            case _ => canonicalPage(tgtHost, k)
+          }
+        }
+      prev = loc
+      sb ++= "  <url><loc>"; sb ++= loc; sb ++= "</loc></url>\n"
+      j += 1
+    }
+    sb ++= "</urlset>\n"
+    Some(sb.toString)
   }
 
   /** Robots fixture (FIXTURES.md §A5) over live page paths so the rules

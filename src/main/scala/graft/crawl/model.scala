@@ -160,6 +160,14 @@ trait PageFetcher extends Serializable {
     * fetcher caches per host + TTL behind the same signature.
     */
   def fetchRobots(host: String): Option[String] = None
+
+  /** GET `http://<host>/sitemap.xml` (the well-known probe path real
+    * crawlers fall back to) — the raw XML body, or None when the host
+    * serves none. Pure per host in the sandbox implementation; a real
+    * fetcher would also follow robots.txt `Sitemap:` directives and
+    * sitemap index files behind this signature.
+    */
+  def fetchSitemap(host: String): Option[String] = None
 }
 
 /** Deterministic sandbox fetcher over [[SyntheticWeb]] — incl. the
@@ -172,6 +180,8 @@ case class SyntheticFetcher(web: SyntheticWeb.WebConfig) extends PageFetcher {
     SyntheticWeb.fetchOutcome(url, attempt, web)
   override def fetchRobots(host: String): Option[String] =
     SyntheticWeb.robotsTxt(host, web)
+  override def fetchSitemap(host: String): Option[String] =
+    SyntheticWeb.sitemapTxt(host, web)
 }
 
 /** One permanently failed fetch (transient retries exhausted, or a
@@ -359,7 +369,23 @@ case class CrawlConfig(
     /** Per-host transient-failure backoff — see [[HostBackoff]]. None
       * (default) = never quarantine.
       */
-    hostBackoff: Option[HostBackoff] = None) {
+    hostBackoff: Option[HostBackoff] = None,
+    /** SITEMAP ingestion (the Nutch/Heritrix sitemap-processor shape):
+      * every host, on its FIRST-EVER appearance among a wave's candidate
+      * URLs (post-scope, post-depth-cap — seeds included), is probed ONCE
+      * for `http://<host>/sitemap.xml` — gated on the host's robots rules
+      * allowing the "/sitemap.xml" path at that moment. The sitemap's
+      * same-host `<loc>` entries ([[graft.functions.Sitemap.entries]];
+      * cross-host entries dropped per the sitemaps.org cross-submission
+      * rule) enter that wave's admission chain AFTER every page-derived
+      * candidate, ordered by (host, entry index), at depth 1, through the
+      * standard guards (scope → depth cap → seen-dedup → host cap →
+      * robots). Probed hosts persist in the wave-stamped `sitemap_hosts`
+      * table (one probe per host, ever; resume reads it back); runs with
+      * the flag OFF record nothing, so enabling at resume probes hosts on
+      * their next candidate re-encounter.
+      */
+    fetchSitemaps: Boolean = false) {
   require(maxDepth >= 0, "maxDepth must be >= 0 (seeds are depth 0)")
   require(maxUrlsPerHost >= 0, "maxUrlsPerHost must be >= 0")
   /** The fetch implementation; engine and oracle share it. */

@@ -19,7 +19,11 @@ import org.apache.spark.sql.SparkSession
   * growth and the pure overhead of the content-seen machinery. backoff =
   * fixture + hostBackoff on the failure-free web: no host ever fails, so
   * the per-wave trailing-failure aggregate runs with nothing to find —
-  * the healthy-crawl overhead of the backoff machinery.)
+  * the healthy-crawl overhead of the backoff machinery. sitemap = fixture
+  * + fetchSitemaps on a web serving NO sitemaps: every host is still
+  * probed once on first encounter and the probed-state anti-join +
+  * chained checkpoint run every wave — the pure overhead of the sitemap
+  * machinery.)
   */
 object CrawlModeBench {
   def main(args: Array[String]): Unit = {
@@ -46,6 +50,7 @@ object CrawlModeBench {
       case "hostcap"     => (CrawlDriver.EngineConfig(), false)
       case "cdup"        => (CrawlDriver.EngineConfig(), false)
       case "backoff"     => (CrawlDriver.EngineConfig(), false)
+      case "sitemap"     => (CrawlDriver.EngineConfig(), false)
       case "cdup-store"  => (CrawlDriver.EngineConfig(contentStorage = "store"), false)
       case "fetch"       => (CrawlDriver.EngineConfig(), true)
       case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
@@ -63,6 +68,7 @@ object CrawlModeBench {
         else if (m == "cdup" || m == "cdup-store") c.copy(contentDedup = true)
         else if (m == "backoff") c.copy(hostBackoff =
           Some(graft.crawl.HostBackoff(failureThreshold = 3, backoffWaves = 2)))
+        else if (m == "sitemap") c.copy(fetchSitemaps = true)
         else c
       // warm (small), then timed (the Bench wide-wave regime)
       CrawlDriver.run(spark, withCap(cfgOf(101, 2000, 5000, fetch)),
