@@ -387,6 +387,41 @@ object SparkEntry {
         canonCol(concat(lit("HTTP://HOST"), pmod(col("doc_id"), lit(20)).cast("string"),
           lit(".TEST:80/a/../p/"), col("doc_id").cast("string"), lit("#frag")))
           .as("canonical_url"))
+    }),
+    // ---- corpus-assembly ops (training-data pipeline): deterministic
+    // hash split, per-source quota downsampling, token-budget packing.
+    // All keyed on md5 strings compared lexicographically — the repo's
+    // standard cross-engine derivation (DuckDB lacks xxhash64).
+    // Train/valid/test split as a pure function of the doc id (survives
+    // re-runs, re-partitioning and incremental appends — no RNG state):
+    // first hex char of md5 partitions 12/2/2 of 16 ≈ 75/12.5/12.5.
+    "q_sample_split" -> ((s, dir) => {
+      val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 1)
+      T(s, dir, "documents").select(col("doc_id"),
+        when(h < "c", "train").when(h < "e", "valid").otherwise("test").as("split"))
+    }),
+    // Per-source quota (the corpus-mixing cap): keep at most 10 docs per
+    // source, chosen by deterministic hash order so the sample is stable
+    // and unbiased by ingest order. Window per source — scale-safe.
+    "q_domain_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("cap|"), col("doc_id").cast("string"))), col("doc_id"))
+      T(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("doc_id"))
+    }),
+    // Token-budget packing (sequence-packing shard assignment): docs in
+    // stable (source, doc_id) order are chunked by cumulative token count
+    // at a 256-token budget — one running-sum window per source.
+    "q_pack_chunks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "documents")
+        .withColumn("tok", size(toks(col("text"))).cast("long"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("doc_id"), col("source"), col("tok"),
+          floor((col("cum") - col("tok")) / lit(256)).cast("long").as("chunk"))
     })
   )
 
@@ -738,6 +773,25 @@ object SparkEntry {
     "q_url_canonicalize" ->
       """SELECT doc_id, 'http://host' || (doc_id % 20) || '.test/p/' || doc_id
         |  AS canonical_url
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('split|' || doc_id), 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(md5('split|' || doc_id), 1, 1) < 'e' THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q_domain_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5('cap|' || doc_id), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10""".stripMargin,
+    "q_pack_chunks" ->
+      s"""WITH t0 AS (SELECT doc_id, source,
+        |  len($SqlToks)::BIGINT AS tok FROM documents)
+        |SELECT doc_id, source, tok,
+        |  CAST(floor((sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - tok) / 256) AS BIGINT) AS chunk
+        |FROM t0""".stripMargin
   )
 }
