@@ -115,6 +115,18 @@ object EnduranceProbe {
         maxFetchAttempts = 4,
         hostBackoff = Some(graft.crawl.HostBackoff(failureThreshold = 2,
           backoffWaves = 2))))
+    // sitemap leg on a WIDE host space reached gradually (few seeds,
+    // budget 1, cross-host links): new hosts keep appearing for many
+    // waves, so the probe fetch, the probed-state re-checkpoint chain
+    // (supersededSm) and the sitemap_hosts appends enter the release
+    // cycle repeatedly — a leak in any of them grows the rdd census
+    val smWeb = web.copy(hosts = 80, sitemapHostPct = 60)
+    probe("sitemap", CrawlDriver.EngineConfig(
+      filterDistribution = "lazy", pendingStorage = "mor",
+      seenStorage = "store", robotsStorage = "table"),
+      "(fetchSitemaps on an 80-host web met gradually; pass = flat rdd census)",
+      c = cfg.copy(web = smWeb, seeds = SyntheticWeb.seedUrls(4, smWeb),
+        fetchSitemaps = true))
     spark.stop()
   }
 }
