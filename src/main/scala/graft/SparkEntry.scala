@@ -422,6 +422,71 @@ object SparkEntry {
         .withColumn("cum", sum(col("tok")).over(w))
         .select(col("doc_id"), col("source"), col("tok"),
           floor((col("cum") - col("tok")) / lit(256)).cast("long").as("chunk"))
+    }),
+    // Benchmark decontamination: a train doc sharing ANY word-3-gram with
+    // any test-split doc is contaminated. Distinct shingles per side, one
+    // equijoin on the shingle key (never all-pairs) — scale-safe: the join
+    // fans out only on actually-shared shingles.
+    "q_decontaminate" -> ((s, dir) => {
+      val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 1)
+      val d = docsWithShingles(s, dir)
+        .withColumn("split",
+          when(h < "c", "train").when(h < "e", "valid").otherwise("test"))
+        .localCheckpoint(false) // read by both split sides below
+      val testG = d.filter(col("split") === "test")
+        .select(explode(array_distinct(col("sh"))).as("g")).distinct()
+      val trainG = d.filter(col("split") === "train")
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+      val hits = trainG.join(testG, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      d.filter(col("split") === "train").select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) === 0L).as("clean"))
+    }),
+    // Gopher-style within-doc repetition signals: duplicate word-2-gram
+    // fraction + most-frequent-token mass. Pure per-doc exprs + one
+    // (doc, token) hash agg — scale-safe.
+    "q_repetition" -> ((s, dir) => {
+      val t = T(s, dir, "documents").withColumn("ts", toks(col("text")))
+      val base = t
+        .withColumn("g2", when(size(col("ts")) >= 2,
+          expr("transform(sequence(1, size(ts)-1), " +
+            "j -> concat(element_at(ts, j), ' ', element_at(ts, j+1)))"))
+          .otherwise(typedLit(Seq.empty[String])))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+          when(size(col("ts")) >= 2,
+            round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+              / size(col("g2")).cast("double"), 6))
+            .otherwise(lit(0.0)).as("dup_2gram_frac"))
+      val top = t.select(col("doc_id"), explode(col("ts")).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"))
+        .select(col("doc_id"),
+          round(col("maxc").cast("double") / col("tot").cast("double"), 6)
+            .as("top_token_frac"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("dup_2gram_frac"),
+          coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"))
+    }),
+    // Corpus TF-IDF: top-3 tokens per doc by tf * ln(N/df), token-asc
+    // tiebreak. Two hash aggs + one equijoin on the token key + a per-doc
+    // window — scale-safe; the 1-row corpus count is broadcast.
+    "q_tfidf_top" -> ((s, dir) => {
+      val tk = T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+      val tf = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val dfreq = tk.distinct().groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val n = T(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tk"))
+      tf.join(dfreq, "tk").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("tk").as("token"),
+          round(col("tfidf"), 6).as("tfidf"), col("rk"))
     })
   )
 
@@ -792,6 +857,50 @@ object SparkEntry {
         |SELECT doc_id, source, tok,
         |  CAST(floor((sum(tok) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) - tok) / 256) AS BIGINT) AS chunk
-        |FROM t0""".stripMargin
+        |FROM t0""".stripMargin,
+    "q_decontaminate" ->
+      s"""$SqlDocsWithShingles,
+        |sp AS (SELECT doc_id, sh,
+        |  CASE WHEN substr(md5('split|' || doc_id), 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(md5('split|' || doc_id), 1, 1) < 'e' THEN 'valid'
+        |       ELSE 'test' END AS split FROM d),
+        |tg AS (SELECT DISTINCT unnest(list_distinct(sh)) AS g FROM sp
+        |       WHERE split = 'test'),
+        |trg AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sp
+        |        WHERE split = 'train'),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM trg JOIN tg USING (g) GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  coalesce(h.n_hits, 0) = 0 AS clean
+        |FROM sp t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |WHERE t.split = 'train'""".stripMargin,
+    "q_repetition" ->
+      s"""WITH t0 AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+        |g AS (SELECT doc_id, ts, len(ts)::BIGINT AS n_tokens,
+        |  list_transform(range(1, CASE WHEN len(ts) >= 2 THEN len(ts) ELSE 1 END),
+        |    j -> ts[j] || ' ' || ts[j+1]) AS g2 FROM t0),
+        |base AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens >= 2
+        |    THEN round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE, 6)
+        |    ELSE 0.0 END AS dup_2gram_frac FROM g),
+        |tk AS (SELECT doc_id, unnest(ts) AS tk FROM t0),
+        |cnt AS (SELECT doc_id, tk, count(*) AS c FROM tk GROUP BY doc_id, tk),
+        |top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6)
+        |          AS top_token_frac FROM cnt GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.dup_2gram_frac,
+        |  coalesce(t.top_token_frac, 0.0) AS top_token_frac
+        |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id""".stripMargin,
+    "q_tfidf_top" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($SqlToks) AS tk FROM documents),
+        |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tk GROUP BY doc_id, tk),
+        |df AS (SELECT tk, count(DISTINCT doc_id) AS df FROM tk GROUP BY tk),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT f.doc_id, f.tk,
+        |         f.tf::DOUBLE * ln(n.n::DOUBLE / d.df::DOUBLE) AS tfidf
+        |       FROM tf f JOIN df d ON f.tk = d.tk CROSS JOIN n)
+        |SELECT doc_id, tk AS token, round(tfidf, 6) AS tfidf, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, tk) AS rk FROM sc)
+        |WHERE rk <= 3""".stripMargin
   )
 }
