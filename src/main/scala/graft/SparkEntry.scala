@@ -487,6 +487,43 @@ object SparkEntry {
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("tk").as("token"),
           round(col("tfidf"), 6).as("tfidf"), col("rk"))
+    }),
+    // PII detection + redaction (the C4/RefinedWeb scrub): email + IPv4
+    // patterns counted and replaced. The synthetic corpus carries no PII, so
+    // a pii-bearing text is derived DETERMINISTICALLY from the row on both
+    // sides (same concat) — the operator under test is the regex scrub.
+    // Pure per-row exprs — scale-safe.
+    "q_pii_redact" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+      T(s, dir, "documents")
+        .withColumn("ptext", concat(
+          lit("user"), col("doc_id").cast("string"), lit("@"), col("source"),
+          lit(".com 10.0."), (col("doc_id") % 200).cast("string"), lit("."),
+          (col("doc_id") % 250).cast("string"), lit(" "), col("text")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("ptext"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("ptext"), lit(ipRe), lit(0)))
+            .cast("long").as("n_ips"),
+          md5(regexp_replace(regexp_replace(col("ptext"), emailRe, "[EMAIL]"),
+            ipRe, "[IP]")).as("redacted_md5"))
+    }),
+    // Cross-doc passage-level exact dedup (the C4 duplicate-line rule over a
+    // newline-free corpus): non-overlapping 5-token windows; first occurrence
+    // corpus-wide (by doc_id, then position) owns the passage, later ones
+    // are duplicates. One shuffle on the passage key — scale-safe.
+    "q_passage_dedup" -> ((s, dir) => {
+      val p = T(s, dir, "documents")
+        .withColumn("ts", toks(col("text")))
+        .select(col("doc_id"), posexplode(
+          expr("transform(sequence(0, cast(ceil(size(ts) / 5.0) AS INT) - 1), " +
+            "i -> concat_ws(' ', slice(ts, i*5+1, 5)))")).as(Seq("pos", "passage")))
+      val w = Window.partitionBy(col("passage")).orderBy(col("doc_id"), col("pos"))
+      p.withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dupes"))
     })
   )
 
@@ -901,6 +938,31 @@ object SparkEntry {
         |SELECT doc_id, tk AS token, round(tfidf, 6) AS tfidf, rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, tk) AS rk FROM sc)
-        |WHERE rk <= 3""".stripMargin
+        |WHERE rk <= 3""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+        |  'user' || doc_id || '@' || source || '.com 10.0.' || (doc_id % 200)
+        |    || '.' || (doc_id % 250) || ' ' || text AS ptext FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(ptext,
+        |    '\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b'))::BIGINT AS n_ips,
+        |  md5(regexp_replace(regexp_replace(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b', '[IP]', 'g')) AS redacted_md5
+        |FROM p""".stripMargin,
+    "q_passage_dedup" ->
+      s"""WITH t0 AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+        |p AS (SELECT doc_id, u.pos AS pos, u.passage AS passage FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, ceil(len(ts)/5.0)::INT),
+        |    i -> {'pos': i::INT,
+        |          'passage': array_to_string(ts[i*5+1 : i*5+5], ' ')})) AS u
+        |  FROM t0)),
+        |r AS (SELECT doc_id, row_number() OVER (PARTITION BY passage
+        |        ORDER BY doc_id, pos) AS rk FROM p)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dupes
+        |FROM r GROUP BY doc_id""".stripMargin
   )
 }
