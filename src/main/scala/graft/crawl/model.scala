@@ -205,14 +205,22 @@ case class ErrorRow(wave: Int, canonical_url: String, host: String,
   * has more non-empty segments than the bound (the infinite-calendar /
   * deep-tree trap), `maxSegmentRepeat` denies URLs where any path segment
   * repeats CONSECUTIVELY more than the bound (the /a/a/a/... self-link
-  * trap). 0 = guard off. Query strings are not path segments.
+  * trap). Two more URL-shape guards every production filter chain carries
+  * (the Nutch urlfilter length bound / query-string-explosion shapes):
+  * `maxUrlLength` denies URLs longer than the bound (runaway generated
+  * URLs), `maxQueryParams` denies URLs with more '&'-separated query
+  * parameters than the bound (the faceted-search / session-id
+  * combinatorial trap — each facet toggle mints a new URL of the same
+  * page). 0 = guard off. Query strings are not path segments.
   */
 case class UrlScope(
     denySuffixes: Seq[String] = Nil,
     denyPatterns: Seq[String] = Nil,
     allowPatterns: Seq[String] = Nil,
     maxPathSegments: Int = 0,
-    maxSegmentRepeat: Int = 0) {
+    maxSegmentRepeat: Int = 0,
+    maxUrlLength: Int = 0,
+    maxQueryParams: Int = 0) {
   @transient private lazy val denyRe =
     denyPatterns.map(java.util.regex.Pattern.compile)
   @transient private lazy val allowRe =
@@ -220,7 +228,27 @@ case class UrlScope(
   @transient private lazy val denySfx = denySuffixes.map(_.toLowerCase)
   def isUnbounded: Boolean =
     denySuffixes.isEmpty && denyPatterns.isEmpty && allowPatterns.isEmpty &&
-      maxPathSegments <= 0 && maxSegmentRepeat <= 0
+      maxPathSegments <= 0 && maxSegmentRepeat <= 0 &&
+      maxUrlLength <= 0 && maxQueryParams <= 0
+  /** '&'-separated non-empty tokens after the first '?' (a bare "?\" is 0;
+    * "?a&&b" is 2 — empty tokens are separators, not parameters).
+    */
+  private def queryParamCount(url: String): Int = {
+    val qi = url.indexOf('?')
+    if (qi < 0) 0
+    else {
+      var n = 0
+      var tokenLen = 0
+      var i = qi + 1
+      while (i < url.length) {
+        if (url.charAt(i) == '&') { if (tokenLen > 0) n += 1; tokenLen = 0 }
+        else tokenLen += 1
+        i += 1
+      }
+      if (tokenLen > 0) n += 1
+      n
+    }
+  }
   private def pathOk(url: String): Boolean = {
     if (maxPathSegments <= 0 && maxSegmentRepeat <= 0) true
     else {
@@ -247,7 +275,9 @@ case class UrlScope(
     if (isUnbounded) true
     else {
       val lower = url.toLowerCase
-      !denySfx.exists(lower.endsWith) &&
+      (maxUrlLength <= 0 || url.length <= maxUrlLength) &&
+        (maxQueryParams <= 0 || queryParamCount(url) <= maxQueryParams) &&
+        !denySfx.exists(lower.endsWith) &&
         !denyRe.exists(_.matcher(url).find()) &&
         (allowRe.isEmpty || allowRe.exists(_.matcher(url).find())) &&
         pathOk(url)

@@ -99,6 +99,38 @@ class UrlScopeSpec extends AnyFunSuite {
     assertEqualResults(o, CrawlDriver.result(spark, root))
   }
 
+  test("URL-shape guards: maxUrlLength bounds total length, maxQueryParams " +
+    "bounds '&'-separated query parameters (faceted-search trap) — allows() " +
+    "semantics plus a query-explosion crawl fixture, engine == oracle") {
+    val len = UrlScope(maxUrlLength = 24)
+    assert(len.allows("http://h.test/p/12345678")) // exactly 24
+    assert(!len.allows("http://h.test/p/123456789"))
+    val qp = UrlScope(maxQueryParams = 2)
+    assert(qp.allows("http://h.test/s"))
+    assert(qp.allows("http://h.test/s?a=1&b=2"))
+    assert(qp.allows("http://h.test/s?a=1&&b=2")) // empty token is a separator
+    assert(!qp.allows("http://h.test/s?a=1&b=2&c=3"))
+    assert(!qp.allows("http://h.test/s?a&b&c")) // key-only params count
+    // faceted-search trap: each page mints one more facet toggle; the
+    // guard stops the chain at 2 params, the length bound kills the
+    // generated monster URL
+    val fetcher = MapFetcher(Map(
+      "http://f.test/s" -> Seq("/s?a=1", "/verylong/generated/x123456789"),
+      "http://f.test/s?a=1" -> Seq("/s?a=1&b=2"),
+      "http://f.test/s?a=1&b=2" -> Seq("/s?a=1&b=2&c=3")))
+    val cfg = CrawlConfig(Seq("http://f.test/s"), budgetPerHost = 4,
+      maxWaves = 1000, fetcherOverride = Some(fetcher),
+      scope = UrlScope(maxUrlLength = 28, maxQueryParams = 2))
+    val (o, totals) = new RefCrawler(cfg).run()
+    assert(o.seen === Set("http://f.test/s", "http://f.test/s?a=1",
+      "http://f.test/s?a=1&b=2"))
+    assert(totals.find(_.wave == 1).get.scope_filtered === 1L) // long URL
+    assert(totals.find(_.wave == 3).get.scope_filtered === 1L) // 3rd param
+    val root = tmp()
+    CrawlDriver.run(spark, cfg, root)
+    assertEqualResults(o, CrawlDriver.result(spark, root))
+  }
+
   test("engine == oracle with scope + depth cap + redirect/failure injection " +
     "on the hash web, across parallelism and the full 10^10 config + resume; " +
     "the filter binds and filtered URLs stay out of every table") {
