@@ -2,7 +2,7 @@ package graft
 
 import graft.crawl.{CrawlConfig, CrawlDriver, SyntheticWeb}
 import graft.functions.CanonicalUrl
-import graft.operators.{Multimodal, Similarity, TextOps}
+import graft.operators.{Components, Multimodal, Similarity, TextOps}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -337,6 +337,25 @@ object SparkEntry {
     // shuffle key = bucket, no block ever goes quadratic in the corpus)
     "q_embedding_neardup_lsh" -> ((s, dir) =>
       Similarity.nearDupPairsLsh(T(s, dir, "embeddings"), threshold = 0.30)),
+    // ---- SemDeDup semantic dedup: coarse-quantizer clusters bound the
+    // quadratic (the cluster id is the shuffle key); within a cluster the
+    // earliest member within the cosine threshold owns its duplicates. The
+    // md5-seeded quantizer makes the whole operator SQL-rederivable; the
+    // Lloyd-trained IvfIndex quantizer is the production form (sbt-tested).
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.semanticDedup(emb,
+        Similarity.seedCentroids(emb, nlist = 16), threshold = 0.30)
+    }),
+    // ---- fuzzy-dedup grouping: transitive closure of the LSH near-dup
+    // candidate pairs (a~b, b~c => one group). Min-label propagation on the
+    // engine side; the oracle recomputes min-reachable-id with a recursive
+    // CTE — both deterministic, so the component labeling hash-checks.
+    "q_dup_components" -> ((s, dir) => {
+      val pairs = Similarity.nearDupPairsLsh(T(s, dir, "embeddings"), threshold = 0.30)
+      Components.connectedComponents(pairs)
+        .select(col("id").as("vec_id"), col("comp"))
+    }),
     // ---- multimodal metadata over binary payloads
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.docsAsMedia(s, T(s, dir, "documents"))
@@ -821,6 +840,46 @@ object SparkEntry {
          |      FROM ex a JOIN ex b USING (bucket) WHERE a.vec_id < b.vec_id),
          |g AS (SELECT id_a, id_b, max(c) AS c FROM p GROUP BY id_a, id_b)
          |SELECT id_a, id_b, round(c, 6) AS cos FROM g WHERE c >= 0.30""".stripMargin,
+    // assignment CTEs identical to q_ann_ivf's seeds-16 quantizer; the dup
+    // rule (earliest in-threshold cluster member wins) is one self-join
+    "q_semantic_dedup" ->
+      s"""WITH $SqlEmbN,
+         |ranked AS (SELECT vec_id, emb,
+         |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS r FROM e),
+         |seeds AS (SELECT r - 1 AS cid, emb AS cemb FROM ranked WHERE r <= 16),
+         |dist AS (SELECT e.vec_id, s.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      j -> (e.emb[j] - s.cemb[j]) * (e.emb[j] - s.cemb[j]))) AS d
+         |  FROM e CROSS JOIN seeds s),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM dist)
+         |  WHERE rr = 1),
+         |m AS (SELECT a.cid, n.vec_id, n.emb, n.nrm FROM assign a JOIN n USING (vec_id))
+         |SELECT x.cid, y.vec_id, min(x.vec_id) AS dup_of
+         |FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |WHERE list_sum(list_transform(range(1, 65),
+         |    j -> x.emb[j] * y.emb[j])) / (x.nrm * y.nrm) >= 0.30
+         |GROUP BY x.cid, y.vec_id""".stripMargin,
+    // pairs CTE chain identical to q_embedding_neardup_lsh; the component
+    // labeling is min-reachable-id over the symmetrized pair graph
+    "q_dup_components" ->
+      s"""WITH RECURSIVE $SqlEmbN,
+         |$SqlLshBuckets,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        list_sum(list_transform(range(1, 65), j -> a.emb[j] * b.emb[j]))
+         |          / (a.nrm * b.nrm) AS c
+         |      FROM ex a JOIN ex b USING (bucket) WHERE a.vec_id < b.vec_id),
+         |pairs AS (SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, max(c) AS c FROM p GROUP BY id_a, id_b) WHERE c >= 0.30),
+         |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id)
+         |SELECT id AS vec_id, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
     "q_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),

@@ -275,6 +275,47 @@ object Similarity {
       .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus with a coarse quantizer, then compare ONLY within
+    * each cluster and mark members whose cosine to another member reaches
+    * `threshold` as semantic duplicates. The cluster key is the shuffle key
+    * and bounds the quadratic — k is chosen so clusters stay small, which
+    * is the paper's own scale argument; `maxCluster` fails fast if the
+    * quantizer is too coarse for that to hold.
+    *
+    * Keep rule (deterministic, matching the repo's first-wins conventions):
+    * members are ordered by vec_id within a cluster; a member is a DUP if
+    * any EARLIER member is within `threshold`, and `dup_of` is the smallest
+    * such id. Output: one row per duplicate — (cid, vec_id, dup_of); rows
+    * absent from the output are the kept exemplars. With [[seedCentroids]]
+    * the whole operator is oracle-rederivable in SQL; pass
+    * [[IvfIndex.train]] centroids for the Lloyd-refined production form.
+    */
+  def semanticDedup(emb: DataFrame, centroids: Array[Array[Double]],
+                    threshold: Double, maxCluster: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val cb = spark.sparkContext.broadcast(centroids)
+    val assignU = udf((e: Seq[Float]) => nearest(toD(e), cb.value))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("cid", assignU(col("embedding")).cast("long"))
+    maxCluster.foreach { cap =>
+      val biggest = assigned.groupBy(col("cid")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      require(biggest <= cap,
+        s"semanticDedup: largest cluster has $biggest rows > cap $cap — " +
+          "O(cluster²) unsafe; raise nlist on the quantizer")
+    }
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, "cid")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .groupBy(col("cid"), col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+      .select(col("cid"), col("vec_id"), col("dup_of"))
+  }
+
   /** Scale-safe near-duplicate pairs: candidates come from LSH bucket
     * collisions (ANY of nTables sign-bit tables), so the shuffle key is the
     * bucket and no block ever goes quadratic in the full corpus. Recall < 1
