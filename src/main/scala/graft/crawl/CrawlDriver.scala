@@ -493,6 +493,18 @@ object CrawlDriver {
   // and the table stays host-dimension-sized. Resume reads it back; runs
   // with the flag off append nothing.
   private val SitemapHosts = "sitemap_hosts"
+
+  // ---- revisit-schedule layout (cfg.revisitEveryWaves) ---------------------
+  // `revisit_due` is append-only: one row per scheduled re-fetch, stamped
+  // with the wave it becomes due (computed at schedule time, so a config
+  // interval change at resume applies only to fetches from then on). A row
+  // is CONSUMED when its due wave executes — the entry re-enters the
+  // frontier and the committed pending table carries it from there — so
+  // resume's outstanding schedule is simply the rows with due_wave >= the
+  // resumed wave; no deletes, no recency resolution. Runs with the feature
+  // off append nothing, and a resume with it off ignores the table (the
+  // oracle models that as dropping the schedule).
+  private val RevisitDue = "revisit_due"
   // rows are clustered by `shard` = pmod(content_hash, bloomShards) on
   // write, so the store-mode per-wave check scans only the bands the
   // wave's fingerprints touch (filter pushed to parquet row groups) —
@@ -511,6 +523,9 @@ object CrawlDriver {
     "host STRING, wave INT")
   private def sitemapStateSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "host STRING")
+  private def revisitDueSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "due_wave INT, canonical_url STRING, host STRING, host_hash BIGINT, " +
+      "priority INT, discovery_time BIGINT, depth INT, generation INT")
   private def robotsHostsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "host STRING, budget INT, wave INT")
 
@@ -555,6 +570,16 @@ object CrawlDriver {
   private def frontierSchema =
     org.apache.spark.sql.Encoders.product[FrontierEntry].schema
 
+  /** docs-table layout: [[Doc]] plus the fetch wave — the VERSION stamp.
+    * Without revisits a doc_id appears once; with
+    * [[CrawlConfig.revisitEveryWaves]] each changed re-fetch appends a new
+    * wave-stamped version (the lakehouse shape: versions are rows, readers
+    * pick latest-wave-wins or time-travel the table itself).
+    */
+  private def docsTableSchema =
+    org.apache.spark.sql.Encoders.product[Doc].schema
+      .add("wave", org.apache.spark.sql.types.IntegerType)
+
   private def pendingDeltaSchema: org.apache.spark.sql.types.StructType =
     frontierSchema
       .add("op", org.apache.spark.sql.types.StringType)
@@ -566,10 +591,11 @@ object CrawlDriver {
 
   /** Current pending frontier regardless of layout: plain read in COW mode;
     * in MOR mode merge base + deltas. The op sequence per (canonical_url,
-    * attempts) KEY is total-ordered: at most ONE `add` (admission is
-    * seen-gated; a transient-failure requeue re-adds under attempts+1;
-    * expiry compacts the chain before a URL can re-enter) and at most one
-    * LATER `del` (selection). Survivors are therefore exactly
+    * attempts, generation) KEY is total-ordered: at most ONE `add`
+    * (admission is seen-gated; a transient-failure requeue re-adds under
+    * attempts+1; a due revisit re-adds under generation+1 with attempts
+    * reset; expiry compacts the chain before a URL can re-enter) and at
+    * most one LATER `del` (selection). Survivors are therefore exactly
     * `(base ∪ delta-adds) ANTI JOIN delta-dels` on that composite key — an
     * anti-join whose build side is delta-sized (and whose runs are SORTED
     * by canonical_url on write), instead of a groupBy(max-struct) shuffle
@@ -585,10 +611,11 @@ object CrawlDriver {
       val fcols = frontierSchema.fieldNames.map(col).toSeq
       val deltas = store.read(PendingDelta)
       val adds = deltas.filter($"op" === "add").select(fcols: _*)
-      val dels = deltas.filter($"op" === "del").select($"canonical_url", $"attempts")
+      val dels = deltas.filter($"op" === "del")
+        .select($"canonical_url", $"attempts", $"generation")
       store.read(PendingBase).select(fcols: _*)
         .unionByName(adds)
-        .join(dels, Seq("canonical_url", "attempts"), "left_anti")
+        .join(dels, Seq("canonical_url", "attempts", "generation"), "left_anti")
     }
   }
 
@@ -710,7 +737,7 @@ object CrawlDriver {
     val seedRows = seedsCanonical.map { case (u, seq) =>
       val h = CanonicalUrl.host(u)
       val ok = RobotsEval.allowed(rulesByHost.getOrElse(h, Nil), CanonicalUrl.path(u))
-      (u, h, XxHash64.hashString(h), 0, seq, 0, 0, ok)
+      (u, h, XxHash64.hashString(h), 0, seq, 0, 0, 0, ok)
     }
 
     // ---- wave-0 SITEMAP ingestion (cfg.fetchSitemaps, oracle model
@@ -725,7 +752,7 @@ object CrawlDriver {
     // executor-side equivalent.
     val smHostRows: Seq[String] =
       if (!cfg.fetchSitemaps) Nil else seedRows.map(_._2).distinct
-    val smRows: Seq[(String, String, Long, Int, Long, Int, Int, Boolean)] =
+    val smRows: Seq[(String, String, Long, Int, Long, Int, Int, Int, Boolean)] =
       if (!cfg.fetchSitemaps) Nil
       else {
         val gated = smHostRows.filter(h =>
@@ -738,7 +765,7 @@ object CrawlDriver {
           hostAdm.update(r._2, hostAdm.getOrElse(r._2, 0L) + 1L)
         }
         var seq = seedRows.size.toLong
-        val out = Seq.newBuilder[(String, String, Long, Int, Long, Int, Int, Boolean)]
+        val out = Seq.newBuilder[(String, String, Long, Int, Long, Int, Int, Int, Boolean)]
         smHostRows.sorted.foreach { h =>
           entriesByHost.getOrElse(h, Nil).foreach { c =>
             if (cfg.scope.allows(c) && 1 <= cfg.maxDepth && !seenSet.contains(c)) {
@@ -748,7 +775,7 @@ object CrawlDriver {
                 hostAdm.update(ch, hostAdm.getOrElse(ch, 0L) + 1L)
                 val ok = RobotsEval.allowed(rulesByHost.getOrElse(ch, Nil),
                   CanonicalUrl.path(c))
-                out += ((c, ch, XxHash64.hashString(ch), 1, seq, 1, 0, ok))
+                out += ((c, ch, XxHash64.hashString(ch), 1, seq, 1, 0, 0, ok))
                 seq += 1
               }
             }
@@ -759,7 +786,7 @@ object CrawlDriver {
     val allRows = seedRows ++ smRows
     val seedDf = allRows
       .toDF("canonical_url", "host", "host_hash", "priority", "discovery_time",
-        "depth", "attempts", "allowed")
+        "depth", "attempts", "generation", "allowed")
 
     val pending0 = seedDf.filter($"allowed").drop("allowed")
       .as[FrontierEntry]
@@ -798,13 +825,14 @@ object CrawlDriver {
     wave0
       .append("seen", seen0.repartition(col("shard")).sortWithinPartitions("shard"))
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
-      .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
+      .declare("docs", docsTableSchema)
       .declare("errors", org.apache.spark.sql.Encoders.product[ErrorRow].schema)
       .declare("redirects", org.apache.spark.sql.Encoders.product[RedirectRow].schema)
       .declare(Duplicates, org.apache.spark.sql.Encoders.product[DuplicateRow].schema)
       .declare(ContentSeen, contentSeenSchema)
       .declare(HostHealth, hostHealthSchema)
       .declare(SitemapHosts, sitemapHostsSchema)
+      .declare(RevisitDue, revisitDueSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "shard_fan" -> eng.bloomShards.toString,
@@ -827,7 +855,7 @@ object CrawlDriver {
           case "bloom" => ShardedBloom.sized(eng.bloomShards, eng.bloomItemsPerShard, eng.bloomFpp)
           case _       => ShardedCuckoo.sized(eng.bloomShards, eng.bloomItemsPerShard)
         }
-        allRows.foreach { case (u, _, hh, _, _, _, _, _) =>
+        allRows.foreach { case (u, _, hh, _, _, _, _, _, _) =>
           f match {
             case b: ShardedBloom  => b.insert(u, hh)
             case c: ShardedCuckoo => c.insert(u, hh)
@@ -842,7 +870,7 @@ object CrawlDriver {
       seen0 = seen0,
       filter = initFilter,
       nextSeq = allRows.size.toLong,
-      pendingCount = allRows.count(_._8).toLong,
+      pendingCount = allRows.count(_._9).toLong,
       wave0Commit = wave0,
       robotsDelta = robots0,
       smHosts0 = smHosts0,
@@ -1054,11 +1082,13 @@ object CrawlDriver {
     val pending0 = {
       val seedsPart = withAllowed.filter($"__allowed").drop("__allowed")
         .withColumn("attempts", lit(0))
+        .withColumn("generation", lit(0))
         .select(fcols0: _*)
       locAllowedDf match {
         case Some(l) => seedsPart.unionByName(
           l.filter($"__allowed").drop("__allowed")
-            .withColumn("attempts", lit(0)).select(fcols0: _*))
+            .withColumn("attempts", lit(0))
+            .withColumn("generation", lit(0)).select(fcols0: _*))
         case None => seedsPart
       }
     }.localCheckpoint(false)
@@ -1085,13 +1115,14 @@ object CrawlDriver {
     wave0
       .append("seen", seen0.repartition(col("shard")).sortWithinPartitions("shard"))
       .declare("trace", org.apache.spark.sql.Encoders.product[TraceRow].schema)
-      .declare("docs", org.apache.spark.sql.Encoders.product[Doc].schema)
+      .declare("docs", docsTableSchema)
       .declare("errors", org.apache.spark.sql.Encoders.product[ErrorRow].schema)
       .declare("redirects", org.apache.spark.sql.Encoders.product[RedirectRow].schema)
       .declare(Duplicates, org.apache.spark.sql.Encoders.product[DuplicateRow].schema)
       .declare(ContentSeen, contentSeenSchema)
       .declare(HostHealth, hostHealthSchema)
       .declare(SitemapHosts, sitemapHostsSchema)
+      .declare(RevisitDue, revisitDueSchema)
       .declare("metrics", org.apache.spark.sql.Encoders.product[WaveMetrics].schema)
       .summary("wave" -> "0",
         "shard_fan" -> eng.bloomShards.toString,
@@ -1524,6 +1555,32 @@ object CrawlDriver {
       })
     val hintSm = new DimensionHint(eng.robotsBroadcastMaxRows, () => smRowsApprox)
 
+    // ---- REVISIT schedule state (cfg.revisitEveryWaves, oracle model
+    // point 14): the outstanding re-fetch entries, keyed by the wave they
+    // become due — chained through eagerly materialized localCheckpoints on
+    // scheduling/consuming waves like the other states. Durable copy = the
+    // append-only `revisit_due` table; a row is consumed when its due wave
+    // executes (the committed pending table carries the entry from there),
+    // so resume's outstanding schedule is exactly the rows with
+    // due_wave >= the resumed wave. The driver tracks per-due-wave COUNTS
+    // (due-wave-dimension-sized, never URLs): a wave with nothing due pays
+    // zero revisit jobs, and a wave with nothing pending and nothing due
+    // is SILENT — skipped entirely, no commit, the crawl sleeps to the
+    // next due wave.
+    val revisitActive = cfg.revisitEveryWaves > 0
+    var revisitState: DataFrame =
+      if (!revisitActive) null
+      else if (fast.isEmpty &&
+        store.currentManifest.exists(_.tables.contains(RevisitDue)))
+        store.read(RevisitDue).filter($"due_wave" >= wave).localCheckpoint(false)
+      else emptyDf(spark, revisitDueSchema)
+    val scheduleCounts = scala.collection.mutable.HashMap.empty[Int, Long]
+    if (revisitActive && fast.isEmpty &&
+        store.currentManifest.exists(_.tables.contains(RevisitDue)))
+      revisitState.groupBy($"due_wave").count().collect()
+        .foreach(r => scheduleCounts.update(r.getInt(0), r.getLong(1)))
+    var revisitOutstanding: Long = scheduleCounts.values.sum
+
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
     // store is the durable/resume copy, written asynchronously off the
     // critical path): `pendingDF` is the live frontier plan; `seenSlices`
@@ -1591,14 +1648,43 @@ object CrawlDriver {
 
     var done = false
     while (!done) {
-      val pending = pendingDF.as[FrontierEntry]
       // the new pending count is derivable from the previous wave's
       // arithmetic (deferred + admitted) — saves one job per wave
-      val pendingCount = carriedPendingCount.getOrElse(pending.count())
-      if (pendingCount == 0 || wave > cfg.maxWaves || fetchedTotal >= cfg.maxUrls) {
+      val basePendingCount =
+        carriedPendingCount.getOrElse(pendingDF.as[FrontierEntry].count())
+      // model point 14: revisit entries due this wave — driver-tracked
+      // counts, so a wave with nothing due costs zero jobs here
+      val dueWaves =
+        if (revisitActive) scheduleCounts.keys.filter(_ <= wave).toSeq else Nil
+      val dueNow = dueWaves.iterator.map(scheduleCounts).sum
+      if (wave > cfg.maxWaves || fetchedTotal >= cfg.maxUrls ||
+          (basePendingCount == 0 && revisitOutstanding == 0)) {
         awaitInFlight()
         done = true
+      } else if (basePendingCount + dueNow == 0) {
+        // SILENT wave (revisit mode): nothing pending, nothing due — the
+        // crawl sleeps to the next due wave; nothing executed, nothing
+        // committed, exactly like the oracle
+        carriedPendingCount = Some(0L)
+        wave += 1
       } else {
+        // due revisits rejoin the frontier at wave start under the keys
+        // they were scheduled with (attempts reset, generation+1 — stamped
+        // at schedule time); in MOR mode they also ride the wave delta as
+        // `add` rows so readPending reconstructs them
+        val dueAdds: Option[DataFrame] =
+          if (dueNow == 0) None
+          else {
+            dueWaves.foreach(scheduleCounts.remove)
+            revisitOutstanding -= dueNow
+            val due = revisitState.filter($"due_wave" <= wave)
+              .withColumn("attempts", lit(0)) // revisits re-enter fresh
+              .select(frontierSchema.fieldNames.map(col).toSeq: _*)
+            pendingDF = pendingDF.unionByName(due)
+            Some(due)
+          }
+        val pending = pendingDF.as[FrontierEntry]
+        val pendingCount = basePendingCount + dueNow
         val waveT0 = System.nanoTime()
         // ---- Q1/Q2: per-host budget selection (one shuffle of pending
         // only). Budget precedence: explicit config override > fetched
@@ -1685,7 +1771,7 @@ object CrawlDriver {
           .mapPartitions { it =>
             it.map { e =>
               val pid = org.apache.spark.TaskContext.getPartitionId()
-              fetcher.fetchAttempt(e.canonical_url, e.attempts) match {
+              fetcher.fetchAttempt(e.canonical_url, e.attempts, e.generation) match {
                 case Fetched(spans, raw) =>
                   // resolve outlinks in document order, then SCOPE-filter
                   // (before the depth cap and seen-set, like the oracle):
@@ -1697,17 +1783,20 @@ object CrawlDriver {
                   val resolved = raw.map(r => CanonicalUrl.resolve(e.canonical_url, r))
                   val links = resolved.filter(scope.allows)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
-                    e.discovery_time, e.depth, e.attempts, "ok", spans, links,
+                    e.discovery_time, e.depth, e.attempts, e.generation,
+                    "ok", spans, links,
                     resolved.size - links.size, null.asInstanceOf[String], pid,
                     if (cdup) ContentHash.ofSpans(spans) else 0L)
                 case TransientFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
-                    e.discovery_time, e.depth, e.attempts, "transient",
+                    e.discovery_time, e.depth, e.attempts, e.generation,
+                    "transient",
                     Vector.empty[Span], Vector.empty[String], 0,
                     null.asInstanceOf[String], pid, 0L)
                 case PermanentFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
-                    e.discovery_time, e.depth, e.attempts, "permanent",
+                    e.discovery_time, e.depth, e.attempts, e.generation,
+                    "permanent",
                     Vector.empty[Span], Vector.empty[String], 0,
                     null.asInstanceOf[String], pid, 0L)
                 case Redirected(raw) =>
@@ -1720,13 +1809,15 @@ object CrawlDriver {
                   val (links, nf) =
                     if (scope.allows(c)) (Vector(c), 0) else (Vector.empty[String], 1)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
-                    e.discovery_time, e.depth, e.attempts, "redirect",
+                    e.discovery_time, e.depth, e.attempts, e.generation,
+                    "redirect",
                     Vector.empty[Span], links, nf, c, pid, 0L)
               }
             }
           }
           .toDF("canonical_url", "host", "host_hash", "priority",
-            "discovery_time", "depth", "attempts", "status", "spans", "links",
+            "discovery_time", "depth", "attempts", "generation",
+            "status", "spans", "links",
             "__nfilt", "__rtarget", "__pid", "__chash")
           .cache()
         val fetched = outcomes.filter($"status" === "ok")
@@ -2176,7 +2267,8 @@ object CrawlDriver {
           }
         val admitted = withRobots.filter($"__allowed")
           .select($"canonical_url", $"host", $"host_hash", $"priority",
-            $"discovery_time", $"depth", lit(0).as("attempts"))
+            $"discovery_time", $"depth", lit(0).as("attempts"),
+            lit(0).as("generation"))
           .as[FrontierEntry]
         // one job: discovered + denied together
         val robotsCounts = withRobots.groupBy($"__allowed").count().collect()
@@ -2276,6 +2368,17 @@ object CrawlDriver {
           .localCheckpoint(false) // plan truncation, materialized at commit
         nextSeq += discovered
         fetchedTotal += fetchedThisWave
+        // model point 14: every success (dup or not) schedules its
+        // re-fetch — same keys, attempts reset, generation+1, due wave
+        // stamped NOW (so an interval change at resume applies only to
+        // fetches from then on). LIGHT columns off the cached outcomes.
+        val newScheduled: Option[DataFrame] =
+          if (!revisitActive || fetchedThisWave == 0) None
+          else Some(fetched.select(
+            lit(wave + cfg.revisitEveryWaves).as("due_wave"),
+            $"canonical_url", $"host", $"host_hash", $"priority",
+            $"discovery_time", $"depth",
+            ($"generation" + 1).cast("int").as("generation")))
         val commitBuilder = store.beginCommit()
         if (eng.pendingStorage == "mor") {
           // merge-on-read: append only this wave's (del=selected, add=
@@ -2287,13 +2390,15 @@ object CrawlDriver {
             commitBuilder.replace(PendingBase, newPending)
               .replace(PendingDelta, emptyDelta(spark))
           } else {
-            // a requeue is del(url, a) + add(url, a+1): the delta op
-            // sequence stays one-add-then-at-most-one-del PER (url,
-            // attempts) KEY, which is what the readPending anti-join
-            // merges on
+            // a requeue is del(url, a, g) + add(url, a+1, g); a due revisit
+            // re-entering this wave is a fresh add(url, 0, g+1): the delta
+            // op sequence stays one-add-then-at-most-one-del PER (url,
+            // attempts, generation) KEY, which is what the readPending
+            // anti-join merges on
             val delRows = selectedRaw.select(fcolsF: _*)
               .withColumn("op", lit("del")).withColumn("w", lit(wave))
-            val addRows = admitted.toDF().unionByName(requeued)
+            val addRows = dueAdds
+              .foldLeft(admitted.toDF().unionByName(requeued))(_ unionByName _)
               .withColumn("op", lit("add")).withColumn("w", lit(wave))
             // deltas land SORTED by canonical_url so the resume merge-join
             // in readPending reads clustered runs (and parquet gets tight
@@ -2318,6 +2423,9 @@ object CrawlDriver {
         }
         if (erroredTotal > 0) commitBuilder.append("errors", errorRows)
         if (redirectedTotal > 0) commitBuilder.append("redirects", redirectRows)
+        // outstanding revisit schedule rides the wave commit (consumed rows
+        // need no delete — resume filters on due_wave >= the resumed wave)
+        newScheduled.foreach(commitBuilder.append(RevisitDue, _))
         // probed hosts ride the wave commit (one row per host, ever —
         // appends across waves are disjoint by the anti-join above)
         if (smProbed > 0)
@@ -2348,7 +2456,8 @@ object CrawlDriver {
         commitBuilder
           .append("seen", newSeen.repartition(col("shard")).sortWithinPartitions("shard"))
           .append("trace", wTrace.toDF())
-          .append("docs", wDocs.toDF())
+          // wave = the doc VERSION stamp (revisits append new versions)
+          .append("docs", wDocs.toDF().withColumn("wave", lit(wave)))
           .append("metrics", metricsRows.toDF())
           .summary(
             "wave" -> wave.toString,
@@ -2366,7 +2475,8 @@ object CrawlDriver {
             "wave_host_capped" -> hostCappedTotal.toString,
             "wave_content_dup" -> contentDupTotal.toString,
             "wave_backoff_deferred" -> backoffDeferredCount.toString,
-            "wave_sitemap_urls" -> smTotal.toString)
+            "wave_sitemap_urls" -> smTotal.toString,
+            "wave_revisits" -> dueNow.toString)
         val doDelta = useFilter && discovered > 0
         val filterNow = bloomB
         val genNow = filterGen
@@ -2475,12 +2585,32 @@ object CrawlDriver {
             .localCheckpoint(false)
           smRowsApprox = math.max(1L, smState.count())
         }
+        // fold this wave's new schedule rows into the revisit state and
+        // DROP the rows consumed this wave (they re-entered the frontier
+        // above — leaving them would re-pull them every later wave); same
+        // eager-materialization discipline as the other chained states.
+        // Driver counts update in lockstep — they are the stop condition
+        // and the per-wave due gate.
+        val revisitChanged = revisitActive && (dueNow > 0 || newScheduled.nonEmpty)
+        val supersededRevisit = if (revisitChanged) List(revisitState) else Nil
+        if (revisitChanged) {
+          val kept = revisitState.filter($"due_wave" > wave)
+          revisitState = newScheduled.map(kept.unionByName).getOrElse(kept)
+            .localCheckpoint(false)
+          revisitState.count()
+          if (newScheduled.nonEmpty) {
+            val dw = wave + cfg.revisitEveryWaves
+            scheduleCounts.update(dw,
+              scheduleCounts.getOrElse(dw, 0L) + fetchedThisWave)
+            revisitOutstanding += fetchedThisWave
+          }
+        }
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++
           capTagged ++ contentTagged ++ backoffMarked ++ healthUpd ++ locTagged
         ckptPrev = ckptPrev ++ ckptCur
         ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
           waveSeqCkpts ++ supersededCounts ++ supersededContent ++
-          supersededHealth ++ smRes ++ supersededSm ++
+          supersededHealth ++ smRes ++ supersededSm ++ supersededRevisit ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it
         bootstrapRes = Nil
         if (cachedSeen) {
@@ -2529,7 +2659,8 @@ object CrawlDriver {
     // checkpoint (the exit-path awaitInFlight ran, so no consumer
     // survives), and reclaim superseded filter generations
     (ckptPrev ++ ckptCur ++ bootstrapRes ++ Option(hostCounts) ++
-      Option(contentSeenState) ++ Option(healthState) ++ Option(smState) :+
+      Option(contentSeenState) ++ Option(healthState) ++ Option(smState) ++
+      Option(revisitState) :+
       pendingDF)
       .foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
     seenSlices.foreach { s =>
@@ -2595,6 +2726,11 @@ object CrawlDriver {
     if (m.tables.contains(PendingBase))
       c.replace(PendingBase, newPending).replace(PendingDelta, emptyDelta(spark))
     else c.replace("pending", newPending)
+    // a forgotten URL must not keep a scheduled re-fetch either (the due
+    // entry would re-enter pending while the URL is out of seen, breaking
+    // the pending ⊆ seen invariant exactly like a kept pending row)
+    if (m.tables.contains(RevisitDue))
+      c.replace(RevisitDue, dropTargets(store.read(RevisitDue)))
     c.summary(m.summary.toSeq: _*)
       .summary("expired" -> targets.size.toString)
       .commit()
@@ -2608,7 +2744,13 @@ object CrawlDriver {
     val trace = store.read("trace").as[TraceRow]
       .collect().sortBy(t => (t.wave, t.seq)).toSeq
     val seen = store.read("seen").as[SeenRow].collect().map(_.canonical_url).toSet
-    val docs = store.read("docs").as[Doc].collect().toSeq
+    // doc versions carry their fetch wave; (doc_id, wave) is unique (one
+    // fetch of a URL per wave), so the trace position of that fetch is the
+    // version's oracle append order
+    val docsV: Seq[(Doc, Int)] = store.read("docs")
+      .select($"doc_id", $"spans", $"wave")
+      .as[(String, Seq[Span], Int)].collect().toSeq
+      .map { case (id, sp, w) => (Doc(id, sp), w) }
     val errors =
       if (store.currentManifest.exists(_.tables.contains("errors")))
         store.read("errors").as[ErrorRow].collect()
@@ -2624,9 +2766,11 @@ object CrawlDriver {
         store.read(Duplicates).as[DuplicateRow].collect()
           .sortBy(d => (d.wave, d.canonical_url)).toSeq
       else Nil
-    val traceOrder = trace.map(_.canonical_url).zipWithIndex.toMap
+    val traceOrder = trace.map(t => (t.canonical_url, t.wave)).zipWithIndex.toMap
     CrawlResult(trace, seen,
-      docs.sortBy(d => traceOrder.getOrElse(d.doc_id, Int.MaxValue)), errors,
+      docsV.sortBy { case (d, w) =>
+        traceOrder.getOrElse((d.doc_id, w), Int.MaxValue)
+      }.map(_._1), errors,
       redirects, duplicates)
   }
 }

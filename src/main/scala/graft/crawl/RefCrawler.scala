@@ -19,7 +19,8 @@ case class WaveTotals(
     host_capped: Long = 0L,
     content_dup: Long = 0L,
     backoff_deferred: Long = 0L,
-    sitemap_urls: Long = 0L)
+    sitemap_urls: Long = 0L,
+    revisits: Long = 0L)
 
 /** Sequential, Spark-free oracle crawler — the BINDING semantics
   * (SURVEY.md §1.4; the reference mount is empty, so this deterministic
@@ -115,8 +116,28 @@ case class WaveTotals(
   *     (sitemap or none, allowed or robots-denied), persists across
   *     [[runPhased]] phases; with the flag off nothing is recorded, so a
   *     phase-2 enable probes hosts on their next candidate re-encounter.
-  * 14. stop when frontier empty, wave > maxWaves, or fetched >= maxUrls
-  *     (checked at wave start).
+  * 14. REVISIT scheduling ([[CrawlConfig.revisitEveryWaves]], the Nutch
+  *     re-fetch-interval recrawl loop): every SUCCESSFUL fetch (content
+  *     duplicates included) at wave w schedules the URL's re-fetch at wave
+  *     w + revisitEveryWaves — same ordering keys, attempts reset,
+  *     generation+1 (the fetcher sees the generation: volatile pages serve
+  *     changed content/links per generation, everything else is
+  *     byte-identical). Due entries rejoin the frontier at the start of
+  *     their due wave and compete under the host budget like any pending
+  *     URL; the re-fetch is traced, counts toward maxUrls, and follows the
+  *     standard outcome semantics — with [[CrawlConfig.contentDedup]] on,
+  *     an unchanged page is a content duplicate of its own earlier fetch
+  *     (self-aliasing `duplicates` row, no doc, no links); a changed page
+  *     appends a new doc version and its links enter discovery; failures
+  *     and redirects are terminal (no further revisits). Waves with
+  *     nothing pending and nothing due are SILENT (not executed, not
+  *     recorded — the crawl sleeps until the next due wave). The schedule
+  *     persists across [[runPhased]] phases; a phase-2 interval change
+  *     applies to fetches from then on (already-scheduled due waves keep
+  *     their computed value), and a phase-2 DISABLE drops the outstanding
+  *     schedule (the engine's resume-with-the-flag-off ignores it).
+  * 15. stop when frontier AND revisit schedule are empty, wave > maxWaves,
+  *     or fetched >= maxUrls (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
 
@@ -289,8 +310,36 @@ class RefCrawler(cfg: CrawlConfig) {
     cur.seeds.foreach(s => admit(CanonicalUrl.canonicalize(s), depth = 0, seed = true))
     sitemapPass() // seed hosts are wave 0's candidate set; counters discarded
 
+    // revisit schedule (model point 14): (due wave, re-entry) — mutated only
+    // while cur.revisitEveryWaves > 0; persists across phases, dropped on a
+    // phase-2 disable
+    val scheduled = mutable.ArrayBuffer.empty[(Int, FrontierEntry)]
     var wave = 1
-    while (pending.nonEmpty && wave <= cur.maxWaves && fetchedTotal < cur.maxUrls) {
+    def maybeSwitch(): Unit =
+      if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
+        cur = cfg2
+        configRulesByHost = RobotsEval.byHost(cur.robots)
+        if (clearAllResolvedOnSwitch) resolved.clear()
+        else if (cur.fetchRobotsTxt && cur.refetchRobotsOnResume)
+          pending.iterator.map(_.host).toSet[String].foreach(h => resolved.remove(h))
+        if (cur.revisitEveryWaves == 0) scheduled.clear()
+      }
+    while ((pending.nonEmpty || scheduled.nonEmpty) && wave <= cur.maxWaves &&
+           fetchedTotal < cur.maxUrls) {
+      // model point 14: due revisits rejoin the frontier at wave start
+      var revisitsIn = 0L
+      var si = 0
+      while (si < scheduled.length) {
+        if (scheduled(si)._1 <= wave) {
+          pending += scheduled(si)._2; scheduled.remove(si); revisitsIn += 1
+        } else si += 1
+      }
+      if (pending.isEmpty) {
+        // SILENT wave: nothing pending, nothing due yet — the crawl sleeps
+        // to the next due wave; nothing executed, nothing recorded
+        wave += 1
+        maybeSwitch()
+      } else {
       // backoff gate (model point 12): quarantined hosts sit this wave out
       // entirely; their pending URLs are backoff-deferred, not
       // budget-deferred
@@ -330,12 +379,17 @@ class RefCrawler(cfg: CrawlConfig) {
           else consecFails.remove(host)
         }
       selected.foreach { e =>
-        val outcome = cur.fetcher.fetchAttempt(e.canonical_url, e.attempts)
+        val outcome = cur.fetcher.fetchAttempt(e.canonical_url, e.attempts, e.generation)
         noteOutcome(e.host, outcome == TransientFetchError)
         outcome match {
           case Fetched(spans, rawLinks) =>
             fetchedThisWave += 1
             trace += TraceRow(wave, fetchedThisWave, e.host, e.canonical_url)
+            // model point 14: every success (dup or not) schedules its
+            // re-fetch — same keys, attempts reset, generation+1
+            if (cur.revisitEveryWaves > 0)
+              scheduled += ((wave + cur.revisitEveryWaves,
+                e.copy(attempts = 0, generation = e.generation + 1)))
             // content-seen test (model point 11): a duplicate is traced —
             // the fetch happened — but stores no doc and follows no links
             val dup = cur.contentDedup && {
@@ -405,14 +459,10 @@ class RefCrawler(cfg: CrawlConfig) {
       }
       totals += WaveTotals(wave, fetchedThisWave, discovered, deduped, denied,
         deferred.toLong, redirectedThisWave, cappedInWave, filteredThisWave,
-        hostCappedInWave, contentDupThisWave, backoffDeferred, smUrls)
+        hostCappedInWave, contentDupThisWave, backoffDeferred, smUrls,
+        revisitsIn)
       wave += 1
-      if (wave == switchAfterWave + 1 && (cur ne cfg2)) {
-        cur = cfg2
-        configRulesByHost = RobotsEval.byHost(cur.robots)
-        if (clearAllResolvedOnSwitch) resolved.clear()
-        else if (cur.fetchRobotsTxt && cur.refetchRobotsOnResume)
-          pending.iterator.map(_.host).toSet[String].foreach(h => resolved.remove(h))
+      maybeSwitch()
       }
     }
 

@@ -65,7 +65,17 @@ object SyntheticWeb {
                          * 0 (default): content is url-unique, exactly the
                          * pre-existing byte stream.
                          */
-                       dupContentGroups: Int = 0)
+                       dupContentGroups: Int = 0,
+                       /** percent of URLs that are VOLATILE — their span
+                         * sequence AND outlink set change on every re-fetch
+                         * generation ([[CrawlConfig.revisitEveryWaves]]),
+                         * hash-derived from the URL alone. Non-volatile
+                         * URLs serve identical bytes at every generation
+                         * (the unchanged-page case content-seen dedup
+                         * detects). 0 (default): nothing changes, so
+                         * generation never affects any output.
+                         */
+                       volatileUrlPct: Int = 0)
 
   /** Deterministic fetch outcome with hash-derived failure injection: a
     * pure function of (url, attempt, cfg), identical in the sequential
@@ -73,14 +83,22 @@ object SyntheticWeb {
     * are a property of the URL (all attempts fail); transient failures
     * re-roll per attempt.
     */
-  def fetchOutcome(url: String, attempt: Int, cfg: WebConfig): FetchOutcome =
+  def fetchOutcome(url: String, attempt: Int, cfg: WebConfig,
+                   generation: Int = 0): FetchOutcome =
     if (cfg.permanentFailPct > 0 &&
         fm(h(url + "|pfail"), 100) < cfg.permanentFailPct) PermanentFetchError
     else if (cfg.transientFailPct > 0 &&
-        fm(h(url + "|tfail|" + attempt), 100) < cfg.transientFailPct) TransientFetchError
+        // transient failures re-roll per fetch EVENT: per attempt, and on
+        // revisits per generation too (gen 0 keys exactly as before, so
+        // legacy configs are byte-identical). Permanent/redirect stay
+        // properties of the URL — a URL showing either is terminal on its
+        // first crawl and can never reach generation > 0 anyway.
+        fm(h(url + "|tfail|" + attempt +
+          (if (generation > 0) "|g" + generation else "")), 100)
+          < cfg.transientFailPct) TransientFetchError
     else if (cfg.redirectPct > 0 &&
         fm(h(url + "|redir"), 100) < cfg.redirectPct) Redirected(redirectTarget(url, cfg))
-    else { val (s, l) = fetchParse(url, cfg); Fetched(s, l) }
+    else { val (s, l) = fetchParse(url, cfg, generation); Fetched(s, l) }
 
   /** Hash-derived redirect Location for a redirecting URL: ~half same-host
     * path moves, half cross-host, in raw forms (absolute-path reference,
@@ -141,16 +159,27 @@ object SyntheticWeb {
     * (text/media interleaved, offset = array index) plus the page's raw
     * outlink strings in document order (duplicates included).
     */
-  def fetchParse(url: String, cfg: WebConfig): (IndexedSeq[Span], IndexedSeq[String]) = {
+  def fetchParse(url: String, cfg: WebConfig,
+                 generation: Int = 0): (IndexedSeq[Span], IndexedSeq[String]) = {
     if (cfg.parseWorkIters > 0 && spinWork(h(url), cfg.parseWorkIters) == 42L)
       throw new IllegalStateException("unreachable") // consume the spin value
+    // VOLATILE pages (revisit scheduling): a per-generation suffix mixes
+    // into BOTH the content seed and the link derivation, so a re-fetch of
+    // a volatile page serves changed spans (a new content fingerprint)
+    // and a changed outlink set (genuinely new discoveries from revisits).
+    // generation 0 — and every page of a volatileUrlPct=0 web — keys
+    // exactly as before: legacy outputs are byte-identical.
+    val gsfx =
+      if (generation > 0 && cfg.volatileUrlPct > 0 &&
+          fm(h(url + "|vol"), 100) < cfg.volatileUrlPct) "|g" + generation
+      else ""
     // content seed: the URL itself, unless dupContentGroups collapses the
     // content space (mirror injection) — links below always derive from
     // the URL, so mirrors link differently, which is exactly what makes
     // "duplicates contribute no outlinks" observable
     val cs =
-      if (cfg.dupContentGroups > 0) "ckey|" + fm(h(url + "|ckey"), cfg.dupContentGroups)
-      else url
+      (if (cfg.dupContentGroups > 0) "ckey|" + fm(h(url + "|ckey"), cfg.dupContentGroups)
+       else url) + gsfx
     val nSpans = 2 + fm(h(cs + "|page"), 7) // 2..8
     val spans = (0 until nSpans).map { i =>
       val hi = h(cs + "|span|" + i)
@@ -166,11 +195,12 @@ object SyntheticWeb {
     }
 
     val hostIdx = hostIndexOf(CanonicalUrl.host(url), cfg)
-    val nLinks = fm(h(url + "|links"), 6) // 0..5
+    val lk = url + gsfx // volatile pages re-roll their outlinks per generation
+    val nLinks = fm(h(lk + "|links"), 6) // 0..5
     val links = new scala.collection.mutable.ArrayBuffer[String](nLinks)
     var j = 0
     while (j < nLinks) {
-      val hj = h(url + "|link|" + j)
+      val hj = h(lk + "|link|" + j)
       if (j > 0 && fm(hj >>> 33, 10) == 0) {
         links += links(j - 1) // ~10% duplicate: exercises in-page dedup
       } else {

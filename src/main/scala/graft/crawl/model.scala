@@ -19,8 +19,13 @@ case class Doc(doc_id: String, spans: Seq[Span])
   * frontier total order is (priority ASC, discovery_time ASC,
   * canonical_url ASC), per-host selection keyed by host_hash. `attempts`
   * counts PRIOR fetch attempts (transient-failure requeues re-enter with
-  * attempts+1 and the same ordering keys); it never participates in
-  * ordering or selection.
+  * attempts+1 and the same ordering keys); `generation` counts PRIOR
+  * SUCCESSFUL fetches of the URL ([[CrawlConfig.revisitEveryWaves]]: a
+  * scheduled revisit re-enters with generation+1, attempts reset to 0, and
+  * the same ordering keys — a re-fetch competes under the host budget
+  * exactly like the first fetch did). Neither participates in ordering or
+  * selection; together with canonical_url they form the unique frontier
+  * lifecycle key (the merge-on-read delta key).
   */
 case class FrontierEntry(
     canonical_url: String,
@@ -29,7 +34,8 @@ case class FrontierEntry(
     priority: Int,
     discovery_time: Long,
     depth: Int,
-    attempts: Int = 0)
+    attempts: Int = 0,
+    generation: Int = 0)
 
 /** Crawl-ordering trace: seq is 1-based within a wave. */
 case class TraceRow(wave: Int, seq: Long, host: String, canonical_url: String)
@@ -154,6 +160,18 @@ trait PageFetcher extends Serializable {
     Fetched(spans, links)
   }
 
+  /** One fetch attempt with the URL's re-fetch `generation` (the number of
+    * PRIOR successful fetches — 0 on the first crawl of the URL, ≥1 on a
+    * scheduled revisit, [[CrawlConfig.revisitEveryWaves]]). Deterministic
+    * fetchers derive per-generation content/outcomes from it (a volatile
+    * synthetic page changes per generation); a real fetcher ignores it —
+    * the live web changes on its own. Default: delegate to the
+    * generation-less channel, so every pre-existing implementation serves
+    * identical content at every generation (the "unchanged page" case).
+    */
+  def fetchAttempt(canonicalUrl: String, attempt: Int, generation: Int): FetchOutcome =
+    fetchAttempt(canonicalUrl, attempt)
+
   /** GET `http://<host>/robots.txt` — the raw body, or None when the host
     * serves none (or it is unreachable, which RFC 9309 §2.3.1 treats as
     * allow-all). Pure per host in the sandbox implementation; a real
@@ -178,6 +196,8 @@ case class SyntheticFetcher(web: SyntheticWeb.WebConfig) extends PageFetcher {
     SyntheticWeb.fetchParse(url, web)
   override def fetchAttempt(url: String, attempt: Int): FetchOutcome =
     SyntheticWeb.fetchOutcome(url, attempt, web)
+  override def fetchAttempt(url: String, attempt: Int, generation: Int): FetchOutcome =
+    SyntheticWeb.fetchOutcome(url, attempt, web, generation)
   override def fetchRobots(host: String): Option[String] =
     SyntheticWeb.robotsTxt(host, web)
   override def fetchSitemap(host: String): Option[String] =
@@ -415,9 +435,32 @@ case class CrawlConfig(
       * the flag OFF record nothing, so enabling at resume probes hosts on
       * their next candidate re-encounter.
       */
-    fetchSitemaps: Boolean = false) {
+    fetchSitemaps: Boolean = false,
+    /** REVISIT scheduling (the Nutch re-fetch-interval / recrawl loop,
+      * oracle model point 14): >0 = every SUCCESSFUL fetch (content
+      * duplicates included — the fetch is what gets rescheduled) re-enters
+      * the frontier `revisitEveryWaves` waves later with the same ordering
+      * keys, attempts reset and generation+1, competing under the host
+      * budget like any pending URL. The re-fetch is traced, counts toward
+      * maxUrls, and goes through the standard outcome semantics: a changed
+      * page appends a new wave-stamped doc VERSION and its outlinks enter
+      * the discovery chain; with [[contentDedup]] on, an UNCHANGED page is
+      * detected as a content duplicate of its own earlier fetch (the
+      * not-modified signal — a self-aliasing `duplicates` row, no doc, no
+      * links); failures/redirects behave exactly like first fetches and
+      * are terminal (no further revisits). Waves where nothing is pending
+      * and nothing is due are SILENT — not executed, not recorded; the
+      * crawl sleeps until the next due wave, and ends only when the
+      * frontier AND the schedule are empty (or maxWaves/maxUrls hit).
+      * Outstanding revisits persist in the `revisit_due` table (resume
+      * reads back the not-yet-due rows); runs with the feature off record
+      * nothing, and a resume with it off ignores the schedule — the oracle
+      * models that as dropping it. 0 (default) = crawl every URL once.
+      */
+    revisitEveryWaves: Int = 0) {
   require(maxDepth >= 0, "maxDepth must be >= 0 (seeds are depth 0)")
   require(maxUrlsPerHost >= 0, "maxUrlsPerHost must be >= 0")
+  require(revisitEveryWaves >= 0, "revisitEveryWaves must be >= 0 (0 = off)")
   /** The fetch implementation; engine and oracle share it. */
   def fetcher: PageFetcher = fetcherOverride.getOrElse(SyntheticFetcher(web))
   /** Static budget (fixture mode); fetch mode layers fetched Crawl-delay
