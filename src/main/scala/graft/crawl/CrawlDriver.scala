@@ -104,6 +104,19 @@ object CrawlDriver {
         * `seenStorage="store"`; no registry bytes resident between waves.
         * Strategy-only: never changes output (EQ-asserted). */
       contentStorage: String = "state",
+      /** cfg.revisitEveryWaves schedule distribution. "state": the
+        * outstanding entries chain wave-to-wave through eagerly-
+        * materialized localCheckpoints — resident size = the URLs fetched
+        * in the last revisitEveryWaves waves (each URL has at most ONE
+        * outstanding entry). "store": no resident entries — a due wave
+        * scans the `revisit_due` table pruned by a due-wave IN-filter
+        * (each append carries a single due_wave value, so parquet prunes
+        * to exactly the scheduling wave's files); rows riding the
+        * not-yet-awaited commit come from a one-wave in-flight delta arm
+        * (needed when revisitEveryWaves == 1), so the resident footprint
+        * is ONE wave's schedule regardless of the interval — the 10^10
+        * path. Strategy-only: never changes output (EQ-asserted). */
+      revisitStorage: String = "state",
       /** Seed lists at or below this size ingest on the driver (canonicalize
         * + first-occurrence dedup over a local collection — cheap, and the
         * wave-0 plans stay LocalRelations). Above it, run() switches to the
@@ -1568,18 +1581,30 @@ object CrawlDriver {
     // is SILENT — skipped entirely, no commit, the crawl sleeps to the
     // next due wave.
     val revisitActive = cfg.revisitEveryWaves > 0
+    val revisitStore = revisitActive && eng.revisitStorage == "store"
+    val hasRevisitTable = fast.isEmpty &&
+      store.currentManifest.exists(_.tables.contains(RevisitDue))
     var revisitState: DataFrame =
-      if (!revisitActive) null
-      else if (fast.isEmpty &&
-        store.currentManifest.exists(_.tables.contains(RevisitDue)))
+      if (!revisitActive || revisitStore) null
+      else if (hasRevisitTable)
         store.read(RevisitDue).filter($"due_wave" >= wave).localCheckpoint(false)
       else emptyDf(spark, revisitDueSchema)
     val scheduleCounts = scala.collection.mutable.HashMap.empty[Int, Long]
-    if (revisitActive && fast.isEmpty &&
-        store.currentManifest.exists(_.tables.contains(RevisitDue)))
-      revisitState.groupBy($"due_wave").count().collect()
+    if (revisitActive && hasRevisitTable) {
+      val src =
+        if (revisitStore) store.read(RevisitDue).filter($"due_wave" >= wave)
+        else revisitState
+      src.groupBy($"due_wave").count().collect()
         .foreach(r => scheduleCounts.update(r.getInt(0), r.getLong(1)))
+    }
     var revisitOutstanding: Long = scheduleCounts.values.sum
+    // store mode: the one-wave in-flight delta arm — this wave's scheduled
+    // rows until their carrying commit is awaited (same flag discipline as
+    // robotsDelta; the checkpoint itself is released via the standard
+    // two-generation queue when superseded, never here)
+    var revisitDelta: DataFrame =
+      if (revisitStore) emptyDf(spark, revisitDueSchema) else null
+    var revisitDeltaInFlight = false
 
     // Wave-to-wave state is chained through CACHED DataFrames (the snapshot
     // store is the durable/resume copy, written asynchronously off the
@@ -1640,6 +1665,11 @@ object CrawlDriver {
         robotsDelta = (emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema))
         robotsDeltaInFlight = false
       }
+      // revisit store mode: flag only — the table now covers the delta
+      // rows, so due reads stop unioning the arm; the checkpoint's blocks
+      // stay alive until the release queue frees it (live plans from this
+      // wave's due union may still read them)
+      revisitDeltaInFlight = false
       prevWaveCaches.foreach(_.unpersist())
       prevWaveCaches = Nil
       ckptPrev.foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
@@ -1675,9 +1705,30 @@ object CrawlDriver {
         val dueAdds: Option[DataFrame] =
           if (dueNow == 0) None
           else {
+            val src =
+              if (!revisitStore) revisitState.filter($"due_wave" <= wave)
+              else {
+                // store mode (the 10^10 path): scan revisit_due pruned by
+                // the due-wave IN-filter (each append carries one due_wave
+                // value → parquet prunes to the scheduling wave's files).
+                // Rows riding the not-yet-awaited commit come from the
+                // in-flight delta arm (live only when revisitEveryWaves ==
+                // 1 can make a row due before its commit is awaited); a
+                // row present in BOTH arms is byte-identical, so the
+                // dedupe is exact
+                val base =
+                  if (store.currentManifest.exists(_.tables.contains(RevisitDue)))
+                    store.read(RevisitDue)
+                  else emptyDf(spark, revisitDueSchema)
+                val all =
+                  if (revisitDeltaInFlight) base.unionByName(revisitDelta)
+                  else base
+                val pruned = all.filter($"due_wave".isInCollection(dueWaves))
+                if (revisitDeltaInFlight) pruned.dropDuplicates() else pruned
+              }
             dueWaves.foreach(scheduleCounts.remove)
             revisitOutstanding -= dueNow
-            val due = revisitState.filter($"due_wave" <= wave)
+            val due = src
               .withColumn("attempts", lit(0)) // revisits re-enter fresh
               .select(frontierSchema.fieldNames.map(col).toSeq: _*)
             pendingDF = pendingDF.unionByName(due)
@@ -2374,11 +2425,25 @@ object CrawlDriver {
         // fetches from then on). LIGHT columns off the cached outcomes.
         val newScheduled: Option[DataFrame] =
           if (!revisitActive || fetchedThisWave == 0) None
-          else Some(fetched.select(
-            lit(wave + cfg.revisitEveryWaves).as("due_wave"),
-            $"canonical_url", $"host", $"host_hash", $"priority",
-            $"discovery_time", $"depth",
-            ($"generation" + 1).cast("int").as("generation")))
+          else {
+            val s = fetched.select(
+              lit(wave + cfg.revisitEveryWaves).as("due_wave"),
+              $"canonical_url", $"host", $"host_hash", $"priority",
+              $"discovery_time", $"depth",
+              ($"generation" + 1).cast("int").as("generation"))
+            // store mode: these rows double as the next wave's in-flight
+            // delta arm — checkpoint eagerly so the arm outlives the
+            // outcomes cache (released at the next await)
+            if (revisitStore) {
+              val c = s.localCheckpoint(false); c.count(); Some(c)
+            } else Some(s)
+          }
+        var supersededRevisitDelta: List[DataFrame] = Nil
+        if (revisitStore && newScheduled.nonEmpty) {
+          supersededRevisitDelta = List(revisitDelta)
+          revisitDelta = newScheduled.get
+          revisitDeltaInFlight = true
+        }
         val commitBuilder = store.beginCommit()
         if (eng.pendingStorage == "mor") {
           // merge-on-read: append only this wave's (del=selected, add=
@@ -2591,19 +2656,22 @@ object CrawlDriver {
         // eager-materialization discipline as the other chained states.
         // Driver counts update in lockstep — they are the stop condition
         // and the per-wave due gate.
-        val revisitChanged = revisitActive && (dueNow > 0 || newScheduled.nonEmpty)
-        val supersededRevisit = if (revisitChanged) List(revisitState) else Nil
+        val revisitChanged = revisitActive && !revisitStore &&
+          (dueNow > 0 || newScheduled.nonEmpty)
+        val supersededRevisit =
+          (if (revisitChanged) List(revisitState) else Nil) ++
+            supersededRevisitDelta
         if (revisitChanged) {
           val kept = revisitState.filter($"due_wave" > wave)
           revisitState = newScheduled.map(kept.unionByName).getOrElse(kept)
             .localCheckpoint(false)
           revisitState.count()
-          if (newScheduled.nonEmpty) {
-            val dw = wave + cfg.revisitEveryWaves
-            scheduleCounts.update(dw,
-              scheduleCounts.getOrElse(dw, 0L) + fetchedThisWave)
-            revisitOutstanding += fetchedThisWave
-          }
+        }
+        if (revisitActive && newScheduled.nonEmpty) {
+          val dw = wave + cfg.revisitEveryWaves
+          scheduleCounts.update(dw,
+            scheduleCounts.getOrElse(dw, 0L) + fetchedThisWave)
+          revisitOutstanding += fetchedThisWave
         }
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++
           capTagged ++ contentTagged ++ backoffMarked ++ healthUpd ++ locTagged
@@ -2660,7 +2728,7 @@ object CrawlDriver {
     // survives), and reclaim superseded filter generations
     (ckptPrev ++ ckptCur ++ bootstrapRes ++ Option(hostCounts) ++
       Option(contentSeenState) ++ Option(healthState) ++ Option(smState) ++
-      Option(revisitState) :+
+      Option(revisitState) ++ Option(revisitDelta) :+
       pendingDF)
       .foreach(org.apache.spark.sql.graftshim.SqlShim.unpersistLocalCheckpoint)
     seenSlices.foreach { s =>

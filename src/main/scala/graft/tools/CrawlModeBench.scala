@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
   * + fetchSitemaps on a web serving NO sitemaps: every host is still
   * probed once on first encounter and the probed-state anti-join +
   * chained checkpoint run every wave — the pure overhead of the sitemap
-  * machinery.)
+  * machinery. revisit = fixture + revisitEveryWaves LONGER than the run:
+  * every success is scheduled — the schedule-state checkpoint + count +
+  * revisit_due append run every wave — but nothing ever comes due, so
+  * the fetch workload is identical to fixture and the delta is the pure
+  * overhead of the revisit machinery.)
   */
 object CrawlModeBench {
   def main(args: Array[String]): Unit = {
@@ -51,6 +55,7 @@ object CrawlModeBench {
       case "cdup"        => (CrawlDriver.EngineConfig(), false)
       case "backoff"     => (CrawlDriver.EngineConfig(), false)
       case "sitemap"     => (CrawlDriver.EngineConfig(), false)
+      case "revisit"     => (CrawlDriver.EngineConfig(), false)
       case "cdup-store"  => (CrawlDriver.EngineConfig(contentStorage = "store"), false)
       case "fetch"       => (CrawlDriver.EngineConfig(), true)
       case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
@@ -69,6 +74,7 @@ object CrawlModeBench {
         else if (m == "backoff") c.copy(hostBackoff =
           Some(graft.crawl.HostBackoff(failureThreshold = 3, backoffWaves = 2)))
         else if (m == "sitemap") c.copy(fetchSitemaps = true)
+        else if (m == "revisit") c.copy(revisitEveryWaves = 1000)
         else c
       // warm (small), then timed (the Bench wide-wave regime)
       CrawlDriver.run(spark, withCap(cfgOf(101, 2000, 5000, fetch)),

@@ -127,6 +127,20 @@ object EnduranceProbe {
       "(fetchSitemaps on an 80-host web met gradually; pass = flat rdd census)",
       c = cfg.copy(web = smWeb, seeds = SyntheticWeb.seedUrls(4, smWeb),
         fetchSitemaps = true))
+    // revisit leg: the recrawl loop IS the unbounded-waves case — every
+    // success re-schedules itself, so the frontier never drains and the
+    // revisit-state chain (supersededRevisit) + revisit_due appends enter
+    // the release cycle EVERY wave. Volatile pages keep doc versions and
+    // discovery churning; content dedup runs in store mode so the only
+    // resident registry is the schedule itself. Table growth (revisit_due,
+    // docs versions) is durable-side and expected; pass = flat rdd census.
+    val rvWeb = web.copy(volatileUrlPct = 30)
+    probe("revisit", CrawlDriver.EngineConfig(
+      filterDistribution = "lazy", pendingStorage = "mor",
+      seenStorage = "store", robotsStorage = "table", contentStorage = "store"),
+      "(revisitEveryWaves=3 + 30% volatile + cdup-store; pass = flat rdd census)",
+      c = cfg.copy(web = rvWeb, seeds = SyntheticWeb.seedUrls(4, rvWeb),
+        revisitEveryWaves = 3, contentDedup = true))
     spark.stop()
   }
 }

@@ -197,6 +197,39 @@ class RevisitSpec extends AnyFunSuite {
       s"wave ${t.wave} revisits (resumed)"))
   }
 
+  test("revisitStorage=store: due entries are scanned from the revisit_due " +
+    "table (no resident schedule) — EQ at N=1, where the in-flight delta " +
+    "arm is live every wave, and at N=3 with mid-recrawl resume, both in " +
+    "the full 10^10 config") {
+    val web = SyntheticWeb.WebConfig(hosts = 6, pagesPerHost = 25,
+      transientFailPct = 10, volatileUrlPct = 35)
+    val eng = CrawlDriver.EngineConfig(filterDistribution = "lazy",
+      pendingStorage = "mor", seenStorage = "store", robotsStorage = "table",
+      contentStorage = "store", revisitStorage = "store")
+    // N=1: a row scheduled at wave w is due at w+1, BEFORE its carrying
+    // commit has been awaited — every due read exercises the delta arm
+    val cfg1 = CrawlConfig(SyntheticWeb.seedUrls(12, web), budgetPerHost = 3,
+      maxWaves = 10, web = web, robots = SyntheticWeb.robotsFixture(web),
+      revisitEveryWaves = 1, contentDedup = true)
+    val (o1, t1) = new RefCrawler(cfg1).run()
+    assert(t1.map(_.revisits).sum > 0, "no revisits fired — fixture weak")
+    val root1 = tmp()
+    CrawlDriver.run(spark, cfg1, root1, eng)
+    assertEqualResults(o1, CrawlDriver.result(spark, root1))
+    // N=3 with a kill AFTER revisits began and a store-mode resume: the
+    // counts rebuild from the table group-by, entries never go resident
+    val cfg3 = cfg1.copy(revisitEveryWaves = 3, maxWaves = 14)
+    val (o3, t3) = new RefCrawler(cfg3).run()
+    val splitAt = t3.find(_.revisits > 0).get.wave
+    val root3 = tmp()
+    CrawlDriver.run(spark, cfg3.copy(maxWaves = splitAt), root3, eng)
+    CrawlDriver.resume(spark, cfg3, root3, eng)
+    assertEqualResults(o3, CrawlDriver.result(spark, root3))
+    val byWave = summaryByWave(root3, "wave_revisits")
+    t3.foreach(t => assert(byWave.getOrElse(t.wave, 0L) === t.revisits,
+      s"wave ${t.wave} revisits (store mode, resumed)"))
+  }
+
   test("revisit toggled at RESUME: enabling in phase 2 schedules only " +
     "phase-2 fetches (phase-1 recorded nothing); disabling in phase 2 " +
     "drops the outstanding schedule — engine == phased oracle both ways") {
