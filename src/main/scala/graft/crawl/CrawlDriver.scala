@@ -2609,10 +2609,21 @@ object CrawlDriver {
           if (cdupActive && !contentStore && newOwnerCount > 0)
             List(contentSeenState)
           else Nil
+        // PARTITION BOUND on every union-chained state: a union
+        // concatenates its parents' partitions, so without the coalesce
+        // each wave's re-checkpoint would carry ~fetch-stage-width MORE
+        // (near-empty) partitions than the last — wave w would pay O(w)
+        // tasks just to copy state (measured: the endurance probe's rdd
+        // block count grew ~190/wave while bytes stayed flat). coalesce
+        // is shuffle-free and output-invariant here (every consumer
+        // re-orders by explicit keys); the seen append has always done
+        // this (see the parse-fan coalesce above).
+        def boundParts(df: DataFrame): DataFrame =
+          df.coalesce(math.max(1, spark.sessionState.conf.numShufflePartitions))
         if (cdupActive && !contentStore && newOwnerCount > 0) {
-          contentSeenState = contentSeenState
+          contentSeenState = boundParts(contentSeenState
             .unionByName(contentTagged.get.filter($"__dup_of".isNull)
-              .select($"__chash", $"canonical_url".as("__owner")))
+              .select($"__chash", $"canonical_url".as("__owner"))))
             .localCheckpoint(false)
           contentRowsApprox = math.max(1L, contentSeenState.count())
         } else if (cdupActive && contentStore) {
@@ -2646,7 +2657,7 @@ object CrawlDriver {
         val supersededSm =
           if (smActive && smProbed > 0) List(smState) else Nil
         if (smActive && smProbed > 0) {
-          smState = smState.unionByName(smRes.get.select($"host"))
+          smState = boundParts(smState.unionByName(smRes.get.select($"host")))
             .localCheckpoint(false)
           smRowsApprox = math.max(1L, smState.count())
         }
@@ -2663,7 +2674,8 @@ object CrawlDriver {
             supersededRevisitDelta
         if (revisitChanged) {
           val kept = revisitState.filter($"due_wave" > wave)
-          revisitState = newScheduled.map(kept.unionByName).getOrElse(kept)
+          revisitState = boundParts(
+            newScheduled.map(kept.unionByName).getOrElse(kept))
             .localCheckpoint(false)
           revisitState.count()
         }
