@@ -27,11 +27,20 @@ import org.apache.spark.sql.graftshim.SqlShim
   * the dedup shapes this serves, and the propagation loop below is where
   * that contraction would slot in.
   *
-  * Iterative-loop discipline (CLAUDE.md): each round's label table is an
-  * EAGER localCheckpoint — chaining plain plans would nest the optimizer
-  * tree round-over-round — and the previous round's checkpoint is released
-  * only after the next one is materialized AND the convergence count that
-  * reads both has run (a localCheckpoint's blocks are not recomputable).
+  * Iterative-loop discipline (CLAUDE.md): each round's label table is a
+  * localCheckpoint — chaining plain plans would nest the optimizer tree
+  * round-over-round — materialized by the convergence aggregate (ONE job
+  * per round), and the previous round's checkpoint is released only after
+  * the next one is materialized (a localCheckpoint's blocks are not
+  * recomputable).
+  *
+  * Convergence test: min-propagation is MONOTONE — no label ever
+  * increases, and a non-converged round strictly decreases at least one —
+  * so the labeling changed iff the exact label SUM strictly decreased.
+  * One scalar aggregate over the new checkpoint (partial aggs, no
+  * shuffle-join) replaces a per-round labels⋈next comparison join; summed
+  * as decimal(38,0) so arbitrary long ids cannot overflow (the ANSI
+  * ARITHMETIC_OVERFLOW gotcha, CLAUDE.md).
   */
 object Components {
 
@@ -46,15 +55,23 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b", maxIters: Int = 64): DataFrame = {
+    // hash-partitioned on the per-round join key BEFORE caching: the
+    // cached relation advertises that partitioning, so every propagation
+    // round joins against it without re-shuffling the edge list (labels
+    // arrive already hash-partitioned on the same key from the groupBy)
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct()
+      .repartition(col("a"))
       .persist()
     // symmetrization puts every endpoint in column a, so nodes = distinct a
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var prevSum = labelSum(labels) // materializes the checkpoint too
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -62,12 +79,10 @@ object Components {
         .select(col("b").as("id"), col("comp"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      val changed = next.join(
-          labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .limit(1).count()
-      converged = changed == 0L
+        .localCheckpoint(false)
+      val nextSum = labelSum(next) // one job: materialize + converge test
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       SqlShim.unpersistLocalCheckpoint(labels)
       labels = next
       iter += 1
