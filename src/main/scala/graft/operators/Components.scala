@@ -67,7 +67,10 @@ object Components {
       .persist()
     // symmetrization puts every endpoint in column a, so nodes = distinct a
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      // sum over an EMPTY label table is null (no edges at all) — map it
+      // to zero so the empty graph converges on the first comparison
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(false)

@@ -28,6 +28,15 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("connectedComponents: EMPTY edge list converges immediately to an " +
+    "empty labeling (the null label-sum edge of the monotone convergence " +
+    "test)") {
+    import spark.implicits._
+    val got = Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(got.count() === 0L)
+  }
+
   test("connectedComponents: long path needs diameter rounds; result " +
     "invariant across input partitioning") {
     import spark.implicits._
