@@ -536,9 +536,14 @@ object CrawlDriver {
     "host STRING, wave INT")
   private def sitemapStateSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "host STRING")
+  // revisit_interval / revisit_hash are the adaptive-revisit state the
+  // entry re-enters the frontier with (0/0 when cfg.revisitAdaptive is off
+  // — the legacy fixed-interval rows are byte-identical plus two zero
+  // columns)
   private def revisitDueSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "due_wave INT, canonical_url STRING, host STRING, host_hash BIGINT, " +
-      "priority INT, discovery_time BIGINT, depth INT, generation INT")
+      "priority INT, discovery_time BIGINT, depth INT, generation INT, " +
+      "revisit_interval INT, revisit_hash BIGINT")
   private def robotsHostsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "host STRING, budget INT, wave INT")
 
@@ -802,6 +807,8 @@ object CrawlDriver {
         "depth", "attempts", "generation", "allowed")
 
     val pending0 = seedDf.filter($"allowed").drop("allowed")
+      .withColumn("revisit_interval", lit(0))
+      .withColumn("revisit_hash", lit(0L))
       .as[FrontierEntry]
     // seen rows carry their filter-shard and are clustered by it on disk,
     // so a shard IN-filter prunes parquet row groups (store-mode dedup)
@@ -1096,12 +1103,16 @@ object CrawlDriver {
       val seedsPart = withAllowed.filter($"__allowed").drop("__allowed")
         .withColumn("attempts", lit(0))
         .withColumn("generation", lit(0))
+        .withColumn("revisit_interval", lit(0))
+        .withColumn("revisit_hash", lit(0L))
         .select(fcols0: _*)
       locAllowedDf match {
         case Some(l) => seedsPart.unionByName(
           l.filter($"__allowed").drop("__allowed")
             .withColumn("attempts", lit(0))
-            .withColumn("generation", lit(0)).select(fcols0: _*))
+            .withColumn("generation", lit(0))
+            .withColumn("revisit_interval", lit(0))
+            .withColumn("revisit_hash", lit(0L)).select(fcols0: _*))
         case None => seedsPart
       }
     }.localCheckpoint(false)
@@ -1581,6 +1592,11 @@ object CrawlDriver {
     // is SILENT — skipped entirely, no commit, the crawl sleeps to the
     // next due wave.
     val revisitActive = cfg.revisitEveryWaves > 0
+    // oracle model point 15: per-URL interval adaptation — the state rides
+    // the frontier/schedule rows, so the only engine-side deltas are the
+    // schedule expressions and per-due-wave (instead of single-due-wave)
+    // driver counts
+    val revisitAdaptive = revisitActive && cfg.revisitAdaptive.nonEmpty
     val revisitStore = revisitActive && eng.revisitStorage == "store"
     val hasRevisitTable = fast.isEmpty &&
       store.currentManifest.exists(_.tables.contains(RevisitDue))
@@ -1816,7 +1832,10 @@ object CrawlDriver {
         // attempts), so any parallelism yields the same outcomes.
         val maxAtt = cfg.maxFetchAttempts
         val scope = cfg.scope
-        val cdup = cdupActive
+        // the span fingerprint feeds content-seen dedup AND the adaptive
+        // revisit changed/unchanged test — computed in the fetch map where
+        // the spans are in hand, so neither consumer touches them again
+        val needChash = cdupActive || revisitAdaptive
         val outcomes = salted
           .as[FrontierEntry]
           .mapPartitions { it =>
@@ -1835,18 +1854,21 @@ object CrawlDriver {
                   val links = resolved.filter(scope.allows)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, e.generation,
+                    e.revisit_interval, e.revisit_hash,
                     "ok", spans, links,
                     resolved.size - links.size, null.asInstanceOf[String], pid,
-                    if (cdup) ContentHash.ofSpans(spans) else 0L)
+                    if (needChash) ContentHash.ofSpans(spans) else 0L)
                 case TransientFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, e.generation,
+                    e.revisit_interval, e.revisit_hash,
                     "transient",
                     Vector.empty[Span], Vector.empty[String], 0,
                     null.asInstanceOf[String], pid, 0L)
                 case PermanentFetchError =>
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, e.generation,
+                    e.revisit_interval, e.revisit_hash,
                     "permanent",
                     Vector.empty[Span], Vector.empty[String], 0,
                     null.asInstanceOf[String], pid, 0L)
@@ -1861,6 +1883,7 @@ object CrawlDriver {
                     if (scope.allows(c)) (Vector(c), 0) else (Vector.empty[String], 1)
                   (e.canonical_url, e.host, e.host_hash, e.priority,
                     e.discovery_time, e.depth, e.attempts, e.generation,
+                    e.revisit_interval, e.revisit_hash,
                     "redirect",
                     Vector.empty[Span], links, nf, c, pid, 0L)
               }
@@ -1868,6 +1891,7 @@ object CrawlDriver {
           }
           .toDF("canonical_url", "host", "host_hash", "priority",
             "discovery_time", "depth", "attempts", "generation",
+            "revisit_interval", "revisit_hash",
             "status", "spans", "links",
             "__nfilt", "__rtarget", "__pid", "__chash")
           .cache()
@@ -2319,7 +2343,8 @@ object CrawlDriver {
         val admitted = withRobots.filter($"__allowed")
           .select($"canonical_url", $"host", $"host_hash", $"priority",
             $"discovery_time", $"depth", lit(0).as("attempts"),
-            lit(0).as("generation"))
+            lit(0).as("generation"), lit(0).as("revisit_interval"),
+            lit(0L).as("revisit_hash"))
           .as[FrontierEntry]
         // one job: discovered + denied together
         val robotsCounts = withRobots.groupBy($"__allowed").count().collect()
@@ -2423,20 +2448,50 @@ object CrawlDriver {
         // re-fetch — same keys, attempts reset, generation+1, due wave
         // stamped NOW (so an interval change at resume applies only to
         // fetches from then on). LIGHT columns off the cached outcomes.
+        // Model point 15 (adaptive): the next interval is a row-local
+        // expression over the carried (interval, fingerprint) and this
+        // fetch's fingerprint — halve on change, double on unchanged,
+        // clamped; generation-0 and pre-adaptive entries start from the
+        // initial interval. Fixed mode keeps the single-due-wave literal
+        // and records no state (zero columns), byte-identical to the
+        // pre-adaptive rows.
         val newScheduled: Option[DataFrame] =
           if (!revisitActive || fetchedThisWave == 0) None
           else {
+            val (dueCol, ivCol, hashCol) = cfg.revisitAdaptive match {
+              case None =>
+                (lit(wave + cfg.revisitEveryWaves),
+                  lit(0), lit(0L))
+              case Some(a) =>
+                val ini = cfg.revisitEveryWaves
+                val base = when($"revisit_interval" > 0, $"revisit_interval")
+                  .otherwise(lit(ini))
+                val ni = when($"generation" === 0, lit(ini))
+                  .otherwise(when($"__chash" =!= $"revisit_hash",
+                    greatest(lit(a.minWaves), floor(base / 2).cast("int")))
+                    .otherwise(least(lit(a.maxWaves),
+                      (base * 2).cast("int"))))
+                (lit(wave) + ni, ni, $"__chash")
+            }
             val s = fetched.select(
-              lit(wave + cfg.revisitEveryWaves).as("due_wave"),
+              dueCol.cast("int").as("due_wave"),
               $"canonical_url", $"host", $"host_hash", $"priority",
               $"discovery_time", $"depth",
-              ($"generation" + 1).cast("int").as("generation"))
+              ($"generation" + 1).cast("int").as("generation"),
+              ivCol.cast("int").as("revisit_interval"),
+              hashCol.cast("bigint").as("revisit_hash"))
+            // adaptive appends carry a RANGE of due waves (fixed mode: one
+            // value) — cluster rows by due_wave within the written files
+            // so the store-mode due scan's IN-filter still prunes on
+            // parquet row-group stats
+            val sSorted =
+              if (revisitAdaptive) s.sortWithinPartitions($"due_wave") else s
             // store mode: these rows double as the next wave's in-flight
             // delta arm — checkpoint eagerly so the arm outlives the
             // outcomes cache (released at the next await)
             if (revisitStore) {
-              val c = s.localCheckpoint(false); c.count(); Some(c)
-            } else Some(s)
+              val c = sSorted.localCheckpoint(false); c.count(); Some(c)
+            } else Some(sSorted)
           }
         var supersededRevisitDelta: List[DataFrame] = Nil
         if (revisitStore && newScheduled.nonEmpty) {
@@ -2680,9 +2735,21 @@ object CrawlDriver {
           revisitState.count()
         }
         if (revisitActive && newScheduled.nonEmpty) {
-          val dw = wave + cfg.revisitEveryWaves
-          scheduleCounts.update(dw,
-            scheduleCounts.getOrElse(dw, 0L) + fetchedThisWave)
+          if (revisitAdaptive) {
+            // adaptive due waves vary per row — one tiny job over the
+            // cached/checkpointed schedule rows for exact per-due-wave
+            // counts (result is at most log2(max/min)+1 distinct waves)
+            newScheduled.get.groupBy($"due_wave").count().collect()
+              .foreach { r =>
+                val dw = r.getInt(0)
+                scheduleCounts.update(dw,
+                  scheduleCounts.getOrElse(dw, 0L) + r.getLong(1))
+              }
+          } else {
+            val dw = wave + cfg.revisitEveryWaves
+            scheduleCounts.update(dw,
+              scheduleCounts.getOrElse(dw, 0L) + fetchedThisWave)
+          }
           revisitOutstanding += fetchedThisWave
         }
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++

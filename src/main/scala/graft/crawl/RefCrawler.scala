@@ -136,7 +136,23 @@ case class WaveTotals(
   *     applies to fetches from then on (already-scheduled due waves keep
   *     their computed value), and a phase-2 DISABLE drops the outstanding
   *     schedule (the engine's resume-with-the-flag-off ignores it).
-  * 15. stop when frontier AND revisit schedule are empty, wave > maxWaves,
+  * 15. ADAPTIVE revisit intervals ([[CrawlConfig.revisitAdaptive]], the
+  *     Nutch AdaptiveFetchSchedule shape; only with revisitEveryWaves > 0,
+  *     the initial interval): each scheduled entry carries the interval it
+  *     was scheduled with and the span fingerprint of the fetch that
+  *     scheduled it ([[FrontierEntry.revisit_interval]] /
+  *     [[FrontierEntry.revisit_hash]] — state rides the frontier row,
+  *     like Nutch's CrawlDb datum). A successful fetch schedules its next
+  *     visit at: the initial interval (generation 0); max(minWaves,
+  *     interval/2) when the fingerprint CHANGED; min(maxWaves,
+  *     interval*2) when UNCHANGED — where `interval` falls back to the
+  *     initial interval for entries scheduled while adaptive was off
+  *     (whose carried interval is 0, and whose missing fingerprint makes
+  *     the first adaptive re-fetch read as changed). With adaptive OFF,
+  *     scheduling records no state (interval/fingerprint stay 0), so a
+  *     phase-2 enable adapts forward only; a phase-2 disable keeps the
+  *     schedule and fixes all future intervals at the initial value.
+  * 16. stop when frontier AND revisit schedule are empty, wave > maxWaves,
   *     or fetched >= maxUrls (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
@@ -385,15 +401,41 @@ class RefCrawler(cfg: CrawlConfig) {
           case Fetched(spans, rawLinks) =>
             fetchedThisWave += 1
             trace += TraceRow(wave, fetchedThisWave, e.host, e.canonical_url)
+            // one fingerprint per fetch, shared by adaptive revisit and
+            // content-seen dedup (0 when neither needs it)
+            val ch =
+              if (cur.contentDedup ||
+                  (cur.revisitEveryWaves > 0 && cur.revisitAdaptive.nonEmpty))
+                ContentHash.ofSpans(spans)
+              else 0L
             // model point 14: every success (dup or not) schedules its
-            // re-fetch — same keys, attempts reset, generation+1
-            if (cur.revisitEveryWaves > 0)
-              scheduled += ((wave + cur.revisitEveryWaves,
-                e.copy(attempts = 0, generation = e.generation + 1)))
+            // re-fetch — same keys, attempts reset, generation+1. Model
+            // point 15: adaptive mode carries (next interval, this fetch's
+            // fingerprint) on the entry; fixed mode carries (0, 0).
+            if (cur.revisitEveryWaves > 0) {
+              val (nextIv, nextHash) = cur.revisitAdaptive match {
+                case None => (0, 0L)
+                case Some(a) =>
+                  val iv =
+                    if (e.generation == 0) cur.revisitEveryWaves
+                    else {
+                      val base =
+                        if (e.revisit_interval > 0) e.revisit_interval
+                        else cur.revisitEveryWaves
+                      if (ch != e.revisit_hash) math.max(a.minWaves, base / 2)
+                      else math.min(a.maxWaves, base * 2)
+                    }
+                  (iv, ch)
+              }
+              val due = wave +
+                (if (cur.revisitAdaptive.isEmpty) cur.revisitEveryWaves else nextIv)
+              scheduled += ((due,
+                e.copy(attempts = 0, generation = e.generation + 1,
+                  revisit_interval = nextIv, revisit_hash = nextHash)))
+            }
             // content-seen test (model point 11): a duplicate is traced —
             // the fetch happened — but stores no doc and follows no links
             val dup = cur.contentDedup && {
-              val ch = ContentHash.ofSpans(spans)
               contentSeen.get(ch) match {
                 case Some(owner) =>
                   duplicates += DuplicateRow(wave, e.canonical_url, e.host, owner, ch)

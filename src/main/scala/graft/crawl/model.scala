@@ -26,6 +26,18 @@ case class Doc(doc_id: String, spans: Seq[Span])
   * exactly like the first fetch did). Neither participates in ordering or
   * selection; together with canonical_url they form the unique frontier
   * lifecycle key (the merge-on-read delta key).
+  *
+  * `revisit_interval` / `revisit_hash` are the ADAPTIVE-revisit state
+  * ([[CrawlConfig.revisitAdaptive]]) and ride the frontier row exactly
+  * like Nutch's CrawlDb datum carries fetchInterval + signature: a
+  * scheduled re-fetch re-enters carrying the interval it was scheduled
+  * with and the span-sequence fingerprint of its previous fetch, so at
+  * fetch time the changed/unchanged decision and the next interval are
+  * row-local — no state-table join, no matter how many waves the entry
+  * sits budget-deferred. Both are 0 for never-revisited entries and for
+  * everything scheduled while adaptive mode is off; neither participates
+  * in ordering, selection, or the lifecycle key ((canonical_url,
+  * generation) determines them functionally).
   */
 case class FrontierEntry(
     canonical_url: String,
@@ -35,7 +47,9 @@ case class FrontierEntry(
     discovery_time: Long,
     depth: Int,
     attempts: Int = 0,
-    generation: Int = 0)
+    generation: Int = 0,
+    revisit_interval: Int = 0,
+    revisit_hash: Long = 0L)
 
 /** Crawl-ordering trace: seq is 1-based within a wave. */
 case class TraceRow(wave: Int, seq: Long, host: String, canonical_url: String)
@@ -324,6 +338,33 @@ case class HostBackoff(failureThreshold: Int, backoffWaves: Int) {
   require(backoffWaves >= 1, "backoffWaves must be >= 1")
 }
 
+/** ADAPTIVE revisit intervals (the Nutch AdaptiveFetchSchedule shape,
+  * oracle model point 15; requires [[CrawlConfig.revisitEveryWaves]] > 0,
+  * which is the per-URL INITIAL interval). Each successful fetch compares
+  * the page's span-sequence fingerprint ([[ContentHash.ofSpans]]) against
+  * the fingerprint recorded at the URL's previous fetch and adapts that
+  * URL's next interval deterministically:
+  *
+  *   - first fetch (generation 0): next interval = the initial interval;
+  *   - CHANGED re-fetch:   next = max(minWaves, interval / 2)  (halve);
+  *   - UNCHANGED re-fetch: next = min(maxWaves, interval * 2)  (double).
+  *
+  * Frequently-changing pages converge to re-fetch every `minWaves`;
+  * static pages back off exponentially to every `maxWaves` — the classic
+  * multiplicative-increase/decrease schedule with fixed rates (integer
+  * halve/double keeps both engines bit-deterministic where Nutch's float
+  * rates would not be). The per-URL state (interval + fingerprint) rides
+  * the frontier/schedule row itself ([[FrontierEntry.revisit_interval]]),
+  * never a separate registry. Entries scheduled BEFORE adaptive mode was
+  * enabled (a resume flip) carry no state: they adapt from the initial
+  * interval, and with no recorded fingerprint their first adaptive
+  * re-fetch reads as changed.
+  */
+case class AdaptiveRevisit(minWaves: Int = 1, maxWaves: Int = 64) {
+  require(minWaves >= 1, "minWaves must be >= 1")
+  require(maxWaves >= minWaves, "maxWaves must be >= minWaves")
+}
+
 /** Crawl configuration shared by the oracle and the Spark engine.
   * hostBudgets: per-host politeness overrides (e.g. mapped from robots
   * Crawl-delay via [[graft.functions.RobotsTxt]]); hosts not listed use
@@ -457,10 +498,29 @@ case class CrawlConfig(
       * nothing, and a resume with it off ignores the schedule — the oracle
       * models that as dropping it. 0 (default) = crawl every URL once.
       */
-    revisitEveryWaves: Int = 0) {
+    revisitEveryWaves: Int = 0,
+    /** ADAPTIVE revisit intervals ([[AdaptiveRevisit]], oracle model point
+      * 15): Some(_) makes each URL's re-fetch interval adapt to whether
+      * its content changed — halve on change (floored at minWaves), double
+      * on unchanged (capped at maxWaves), starting from
+      * [[revisitEveryWaves]] (which must lie within [minWaves, maxWaves]).
+      * None (default): every re-fetch reschedules at the fixed interval.
+      * Enabling at resume adapts forward only (outstanding entries adapt
+      * from the initial interval and read their first adaptive re-fetch as
+      * changed); disabling at resume keeps the schedule but fixes all
+      * future intervals.
+      */
+    revisitAdaptive: Option[AdaptiveRevisit] = None) {
   require(maxDepth >= 0, "maxDepth must be >= 0 (seeds are depth 0)")
   require(maxUrlsPerHost >= 0, "maxUrlsPerHost must be >= 0")
   require(revisitEveryWaves >= 0, "revisitEveryWaves must be >= 0 (0 = off)")
+  revisitAdaptive.foreach { a =>
+    require(revisitEveryWaves > 0,
+      "revisitAdaptive requires revisitEveryWaves > 0 (the initial interval)")
+    require(a.minWaves <= revisitEveryWaves && revisitEveryWaves <= a.maxWaves,
+      s"revisitEveryWaves=$revisitEveryWaves must lie within " +
+        s"[minWaves=${a.minWaves}, maxWaves=${a.maxWaves}]")
+  }
   /** The fetch implementation; engine and oracle share it. */
   def fetcher: PageFetcher = fetcherOverride.getOrElse(SyntheticFetcher(web))
   /** Static budget (fixture mode); fetch mode layers fetched Crawl-delay

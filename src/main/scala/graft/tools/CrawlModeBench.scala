@@ -27,7 +27,11 @@ import org.apache.spark.sql.SparkSession
   * every success is scheduled — the schedule-state checkpoint + count +
   * revisit_due append run every wave — but nothing ever comes due, so
   * the fetch workload is identical to fixture and the delta is the pure
-  * overhead of the revisit machinery.)
+  * overhead of the revisit machinery. adaptive = revisit +
+  * revisitAdaptive: same no-revisit-fires workload, plus the per-success
+  * span fingerprinting, the adaptive schedule expressions and the
+  * per-due-wave groupBy-collect — adaptive-vs-revisit is the pure
+  * overhead of interval adaptation.)
   */
 object CrawlModeBench {
   def main(args: Array[String]): Unit = {
@@ -56,6 +60,7 @@ object CrawlModeBench {
       case "backoff"     => (CrawlDriver.EngineConfig(), false)
       case "sitemap"     => (CrawlDriver.EngineConfig(), false)
       case "revisit"     => (CrawlDriver.EngineConfig(), false)
+      case "adaptive"    => (CrawlDriver.EngineConfig(), false)
       case "cdup-store"  => (CrawlDriver.EngineConfig(contentStorage = "store"), false)
       case "fetch"       => (CrawlDriver.EngineConfig(), true)
       case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
@@ -75,6 +80,9 @@ object CrawlModeBench {
           Some(graft.crawl.HostBackoff(failureThreshold = 3, backoffWaves = 2)))
         else if (m == "sitemap") c.copy(fetchSitemaps = true)
         else if (m == "revisit") c.copy(revisitEveryWaves = 1000)
+        else if (m == "adaptive") c.copy(revisitEveryWaves = 1000,
+          revisitAdaptive = Some(graft.crawl.AdaptiveRevisit(
+            minWaves = 1, maxWaves = 2048)))
         else c
       // warm (small), then timed (the Bench wide-wave regime)
       CrawlDriver.run(spark, withCap(cfgOf(101, 2000, 5000, fetch)),
