@@ -265,7 +265,7 @@ object CrawlDriver {
     val wp = wavePeriodSeconds
     val res = hostsDf.select($"host").as[String]
       .mapPartitions(_.map { h =>
-        fetcher.fetchRobots(h) match {
+        fetcher.fetchRobots(h, wave) match {
           case Some(txt) =>
             val p = graft.functions.RobotsTxt.parse(h, txt, ua)
             (h, p.rules.map(r => (r.path_prefix, r.allow, r.rule_order)),
@@ -394,14 +394,14 @@ object CrawlDriver {
     * instead and never collects).
     */
   private def fetchRobotsDistributed(spark: SparkSession, fetcher: PageFetcher,
-      userAgent: String, hosts: Seq[String]): Seq[HostRobots] = {
+      userAgent: String, hosts: Seq[String], wave: Int = 0): Seq[HostRobots] = {
     import spark.implicits._
     if (hosts.isEmpty) Nil
     else spark.createDataset(hosts.toIndexedSeq)
       .repartition(math.min(hosts.length,
         math.max(1, spark.sessionState.conf.numShufflePartitions)))
       .mapPartitions(_.map { h =>
-        fetcher.fetchRobots(h) match {
+        fetcher.fetchRobots(h, wave) match {
           case Some(txt) =>
             val p = graft.functions.RobotsTxt.parse(h, txt, userAgent)
             (h, true, p.rules, p.crawlDelaySeconds)
@@ -449,8 +449,14 @@ object CrawlDriver {
     var known = known0
     resolved.foreach { hr =>
       val eff = if (hr.served) hr.rules else configRules.getOrElse(hr.host, Nil)
-      hr.delay.foreach(d => budgets += hr.host ->
-        graft.functions.RobotsTxt.budgetForDelay(d, wavePeriodSeconds))
+      // fresh state fully SUPERSEDES on a re-fetch (robots TTL / recency):
+      // a body that dropped its Crawl-delay drops the budget too — for a
+      // first-time host the removal is a no-op
+      budgets = hr.delay match {
+        case Some(d) => budgets.updated(hr.host,
+          graft.functions.RobotsTxt.budgetForDelay(d, wavePeriodSeconds))
+        case None => budgets - hr.host
+      }
       known += hr.host
       rules =
         if (eff.nonEmpty) rules.updated(hr.host, eff) else rules - hr.host
@@ -1258,13 +1264,19 @@ object CrawlDriver {
       resumeHostCollects.incrementAndGet()
       val hosts = readPending(spark, store)
         .select($"host").distinct().as[String].collect().toSeq
-      val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent, hosts)
+      // the resumed wave is the fetch wave (a time-varying robots server
+      // sees the resume re-resolution happen NOW, not at wave 0)
+      val resumedWave =
+        store.currentManifest.map(_.summary("wave").toInt + 1).getOrElse(1)
+      val resolved = fetchRobotsDistributed(spark, cfg.fetcher, cfg.userAgent,
+        hosts, resumedWave)
       val (r, b, k) = mergeHostRobots(resolved, configRules,
         cfg.wavePeriodSeconds, rules0, budgets0, known0)
       rules0 = r; budgets0 = b; known0 = k
     }
     loop(spark, cfg, store, eng, rules0, budgets0, known0, robotsTables0,
-      bootstrapCkpts = bootstrapRes.toSeq)
+      bootstrapCkpts = bootstrapRes.toSeq,
+      acqWave0 = store.currentManifest.map(_.summary("wave").toInt + 1).getOrElse(1))
   }
 
   // ---------------------------------------------------------------------
@@ -1286,6 +1298,13 @@ object CrawlDriver {
                      * frontier) until wave 3's await.
                      */
                    bootstrapCkpts: Seq[DataFrame] = Nil,
+                   /** the wave every host of known0 was resolved at (seed
+                     * ingest: 0; broadcast-mode resume: the resumed wave)
+                     * — seeds the robots-TTL staleness clock
+                     * (cfg.robotsTtlWaves; broadcast mode only — table
+                     * mode reads acquisition waves from robots_hosts).
+                     */
+                   acqWave0: Int = 0,
                    onWaveEnd: Int => Unit = _ => ()): RunHandle = {
     import spark.implicits._
 
@@ -1307,6 +1326,16 @@ object CrawlDriver {
     var robotsCur = spark.sparkContext.broadcast(rulesByHost)
     var budgetsCur = spark.sparkContext.broadcast(budgetsByHost)
     var knownHostsB = spark.sparkContext.broadcast(knownHosts)
+    // robots-TTL clock, broadcast mode (cfg.robotsTtlWaves; oracle model
+    // point 16): host -> wave its resolution was acquired at. The driver
+    // map drives the wave-start stale-pending re-fetch; the broadcast
+    // drives the mid-wave stale-candidate check (executors). Maintained
+    // only while the TTL is on (table mode reads waves from robots_hosts
+    // instead — zero driver state there).
+    val ttlActive = cfg.fetchRobotsTxt && cfg.robotsTtlWaves > 0
+    var acqWaveM: Map[String, Int] =
+      if (ttlActive) known0.iterator.map(_ -> acqWave0).toMap else Map.empty
+    var acqWaveB = spark.sparkContext.broadcast(acqWaveM)
 
     // ---- robots-as-TABLE state (robotsStorage = "table", the 10^7+-host
     // path): rules/budgets are snapshot tables; the store read covers
@@ -1753,6 +1782,68 @@ object CrawlDriver {
         val pending = pendingDF.as[FrontierEntry]
         val pendingCount = basePendingCount + dueNow
         val waveT0 = System.nanoTime()
+
+        // ---- robots TTL pre-pass (cfg.robotsTtlWaves, oracle model point
+        // 16): every PENDING host whose resolution expired re-fetches NOW
+        // — before selection, so a fresh Crawl-delay budget binds this
+        // wave. Stale CANDIDATE hosts are handled mid-wave by the
+        // acquisition join below. All of it is gated off (zero jobs) while
+        // the TTL is off or no resolution can be stale yet.
+        var robotsRefetchedThisWave = 0L
+        var ttlRes: Option[DataFrame] = None
+        var ttlRuleRows = emptyDf(spark, robotsRulesSchema)
+        var ttlHostRows = emptyDf(spark, robotsHostsSchema)
+        if (ttlActive && wave >= cfg.robotsTtlWaves) {
+          if (!tableRobots) {
+            // broadcast mode: staleness is driver-known; one job intersects
+            // the stale set with the wave's pending hosts (host dimension —
+            // this mode's contract), then the standard distributed fetch +
+            // merge + broadcast swap, all before the selection captures
+            // budgetsCur
+            val staleKnown = acqWaveM.iterator
+              .filter(_._2 <= wave - cfg.robotsTtlWaves).map(_._1).toSet
+            if (staleKnown.nonEmpty) {
+              val skB = spark.sparkContext.broadcast(staleKnown)
+              val isStale = udf((h: String) => skB.value.contains(h))
+              val stalePending = pending.toDF().select($"host").distinct()
+                .filter(isStale($"host")).as[String].collect().toSeq
+              if (stalePending.nonEmpty) {
+                val resolved = fetchRobotsDistributed(spark, fetcher,
+                  userAgent, stalePending, wave)
+                val (r, b, k) = mergeHostRobots(resolved, configRules,
+                  wavePeriod, rulesByHost, budgetsByHost, knownHosts)
+                rulesByHost = r; budgetsByHost = b; knownHosts = k
+                acqWaveM = acqWaveM ++ stalePending.iterator.map(_ -> wave)
+                robotsCur = spark.sparkContext.broadcast(rulesByHost)
+                budgetsCur = spark.sparkContext.broadcast(budgetsByHost)
+                knownHostsB = spark.sparkContext.broadcast(knownHosts)
+                acqWaveB = spark.sparkContext.broadcast(acqWaveM)
+                robotsRefetchedThisWave += stalePending.size
+              }
+            }
+          } else {
+            // table mode: acquisition waves live in robots_hosts — one
+            // host-dimension aggregate finds the latest per host, a semi
+            // join against the wave's pending hosts selects the stale
+            // ones, and the standard distributed acquisition appends
+            // wave-w rows that supersede via latest-wave-wins. The rows
+            // ride this wave's commit exactly like in-wave acquisitions.
+            val latest = readRobots(spark, store, RobotsHosts)
+              .unionByName(robotsDelta._2)
+              .groupBy($"host").agg(max($"wave").as("__lw"))
+              .filter($"__lw" <= lit(wave - cfg.robotsTtlWaves))
+            val staleHosts = pending.toDF().select($"host").distinct()
+              .join(hintRobots(latest.select($"host")), Seq("host"), "left_semi")
+            val (rr, hh, res) = acquireRobotsDf(spark, fetcher, userAgent,
+              configRulesB, wavePeriod, staleHosts, wave)
+            ttlRes = Some(res)
+            val stats = res.agg(count(lit(1)).as("h"),
+              coalesce(sum(size($"rules")), lit(0L)).as("r")).head()
+            robotsRowsApprox += stats.getLong(0) + stats.getLong(1)
+            robotsRefetchedThisWave += stats.getLong(0)
+            if (stats.getLong(0) > 0) { ttlRuleRows = rr; ttlHostRows = hh }
+          }
+        }
         // ---- Q1/Q2: per-host budget selection (one shuffle of pending
         // only). Budget precedence: explicit config override > fetched
         // Crawl-delay budget (acquired when the host was first resolved, in
@@ -1798,6 +1889,7 @@ object CrawlDriver {
             // the max is also the dedupe)
             val hostsAll = readRobots(spark, store, RobotsHosts)
               .unionByName(robotsDelta._2)
+              .unionByName(ttlHostRows) // TTL re-fetches: freshest rows win
               .groupBy($"host").agg(max(struct($"wave", $"budget")).as("__s"))
               .select($"host", $"__s.budget".as("__tb"))
             val rankedB = ranked.join(hintRobots(hostsAll), Seq("host"), "left")
@@ -2141,17 +2233,30 @@ object CrawlDriver {
         // function of host) and avoids an extra pass over the dedup chain.
         if (cfg.fetchRobotsTxt && !tableRobots) {
           val kb = knownHostsB
-          val isKnown = udf((h: String) => kb.value.contains(h))
+          val ab = acqWaveB
+          val ttlW = if (ttlActive) cfg.robotsTtlWaves else 0
+          val curW = wave
+          // needs a fetch: never resolved, or (TTL on) resolution expired
+          // — the stale-candidate half of model point 16
+          val needsFetch = udf((h: String) =>
+            !kb.value.contains(h) ||
+              (ttlW > 0 && ab.value.getOrElse(h, curW) <= curW - ttlW))
           val newHosts = tagged.select($"host").distinct()
-            .filter(!isKnown($"host")).as[String].collect()
+            .filter(needsFetch($"host")).as[String].collect()
           if (newHosts.nonEmpty) {
-            val resolved = fetchRobotsDistributed(spark, fetcher, userAgent, newHosts.toSeq)
+            robotsRefetchedThisWave += newHosts.count(knownHosts.contains)
+            val resolved = fetchRobotsDistributed(spark, fetcher, userAgent,
+              newHosts.toSeq, wave)
             val (r, b, k) = mergeHostRobots(resolved, configRules,
               cfg.wavePeriodSeconds, rulesByHost, budgetsByHost, knownHosts)
             rulesByHost = r; budgetsByHost = b; knownHosts = k
             robotsCur = spark.sparkContext.broadcast(rulesByHost)
             budgetsCur = spark.sparkContext.broadcast(budgetsByHost)
             knownHostsB = spark.sparkContext.broadcast(knownHosts)
+            if (ttlActive) {
+              acqWaveM = acqWaveM ++ newHosts.iterator.map(_ -> wave)
+              acqWaveB = spark.sparkContext.broadcast(acqWaveM)
+            }
           }
         }
 
@@ -2162,18 +2267,41 @@ object CrawlDriver {
         val rulesKnown =
           if (!tableRobots) null
           else readRobots(spark, store, RobotsRules).unionByName(robotsDelta._1)
+            .unionByName(ttlRuleRows)
         val hostsKnown =
           if (!tableRobots) null
           else readRobots(spark, store, RobotsHosts).unionByName(robotsDelta._2)
+            .unionByName(ttlHostRows)
         var waveRobotsRes: Option[DataFrame] = None
         val (newRuleRows, newHostRows): (DataFrame, DataFrame) =
           if (!tableRobots || !cfg.fetchRobotsTxt)
             (emptyDf(spark, robotsRulesSchema), emptyDf(spark, robotsHostsSchema))
           else {
+            // acquisition target: hosts never resolved — plus, with the
+            // TTL on, known hosts whose LATEST resolution expired (the
+            // stale-candidate half of model point 16; stale PENDING hosts
+            // were already refreshed at wave start, so their latest row is
+            // this wave's — fresh). Without the TTL this stays the plain
+            // anti-join (no aggregate).
+            val candHosts = tagged.select($"host").distinct()
+            val acqTarget =
+              if (!ttlActive)
+                candHosts.join(hintRobots(hostsKnown.select($"host")),
+                  Seq("host"), "left_anti")
+              else
+                candHosts.join(
+                  hintRobots(hostsKnown.groupBy($"host")
+                    .agg(max($"wave").as("__lw"))),
+                  Seq("host"), "left")
+                  .filter($"__lw".isNull ||
+                    $"__lw" <= lit(wave - cfg.robotsTtlWaves))
+            val staleCandCount =
+              if (!ttlActive) 0L
+              else acqTarget.filter($"__lw".isNotNull).count()
+            robotsRefetchedThisWave += staleCandCount
             val (ruleRows, hostRows, res) = acquireRobotsDf(spark, fetcher,
               userAgent, configRulesB, wavePeriod,
-              tagged.select($"host").distinct()
-                .join(hintRobots(hostsKnown.select($"host")), Seq("host"), "left_anti"),
+              acqTarget.select($"host"),
               wave)
             // res is localCheckpointed inside acquireRobotsDf (plan
             // truncation for the wave-over-wave robotsDelta chain); its
@@ -2531,10 +2659,16 @@ object CrawlDriver {
           // robots rows are crawl state: this wave's acquisitions (plus any
           // resume-bootstrap rows not yet durable) ride the wave commit;
           // until it lands, reads union them in as the in-flight delta
+          // TTL re-fetch rows (wave-start pre-pass) ride this wave's
+          // commit and the in-flight delta exactly like the in-wave
+          // acquisitions
+          val (rAcq, hAcq) =
+            (ttlRuleRows.unionByName(newRuleRows),
+              ttlHostRows.unionByName(newHostRows))
           val (rApp, hApp) = robotsUncommitted match {
             case Some((ur, uh)) =>
-              (ur.unionByName(newRuleRows), uh.unionByName(newHostRows))
-            case None => (newRuleRows, newHostRows)
+              (ur.unionByName(rAcq), uh.unionByName(hAcq))
+            case None => (rAcq, hAcq)
           }
           robotsUncommitted = None
           commitBuilder.append(RobotsRules, rApp).append(RobotsHosts, hApp)
@@ -2596,7 +2730,8 @@ object CrawlDriver {
             "wave_content_dup" -> contentDupTotal.toString,
             "wave_backoff_deferred" -> backoffDeferredCount.toString,
             "wave_sitemap_urls" -> smTotal.toString,
-            "wave_revisits" -> dueNow.toString)
+            "wave_revisits" -> dueNow.toString,
+            "wave_robots_refetched" -> robotsRefetchedThisWave.toString)
         val doDelta = useFilter && discovered > 0
         val filterNow = bloomB
         val genNow = filterGen
@@ -2755,7 +2890,8 @@ object CrawlDriver {
         prevWaveCaches = List(ranked.toDF(), outcomes, tagged, withRobots) ++
           capTagged ++ contentTagged ++ backoffMarked ++ healthUpd ++ locTagged
         ckptPrev = ckptPrev ++ ckptCur
-        ckptCur = List(supersededPending) ++ waveRobotsRes ++ bootstrapRes ++
+        ckptCur = List(supersededPending) ++ waveRobotsRes ++ ttlRes ++
+          bootstrapRes ++
           waveSeqCkpts ++ supersededCounts ++ supersededContent ++
           supersededHealth ++ smRes ++ supersededSm ++ supersededRevisit ++
           (if (cachedSeen) Nil else List(newSeen)) // cached mode: slices own it

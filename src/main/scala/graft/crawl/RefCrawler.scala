@@ -20,7 +20,8 @@ case class WaveTotals(
     content_dup: Long = 0L,
     backoff_deferred: Long = 0L,
     sitemap_urls: Long = 0L,
-    revisits: Long = 0L)
+    revisits: Long = 0L,
+    robots_refetched: Long = 0L)
 
 /** Sequential, Spark-free oracle crawler — the BINDING semantics
   * (SURVEY.md §1.4; the reference mount is empty, so this deterministic
@@ -152,7 +153,23 @@ case class WaveTotals(
   *     scheduling records no state (interval/fingerprint stay 0), so a
   *     phase-2 enable adapts forward only; a phase-2 disable keeps the
   *     schedule and fixes all future intervals at the initial value.
-  * 16. stop when frontier AND revisit schedule are empty, wave > maxWaves,
+  * 16. robots TTL ([[CrawlConfig.robotsTtlWaves]], the RFC 9309 §2.4
+  *     cache-validity rule): a robots resolution acquired at wave w0
+  *     expires at wave w0 + ttl. Robots resolves at a host's FIRST
+  *     CANDIDATE APPEARANCE (post-scope, post-depth-cap, dedup outcome
+  *     irrelevant — the candidate-host superset the engine acquires for;
+  *     seed hosts resolve at wave 0), and an expired host re-fetches at
+  *     the next wave that needs it: at WAVE START when it has pending
+  *     URLs (fresh Crawl-delay budgets bind at that wave's selection), or
+  *     at its next candidate appearance (fresh rules bind at admission).
+  *     Bodies may vary with the fetch wave
+  *     ([[PageFetcher.fetchRobots(host:String,wave:Int)*]]); fresh state
+  *     fully supersedes — a body that dropped its Crawl-delay drops the
+  *     budget, one serving nothing falls back to config rules. URLs
+  *     admitted under older rules still fetch (robots is admission-time,
+  *     the refetchRobotsOnResume semantics). `robots_refetched` in
+  *     [[WaveTotals]]. TTL 0 = never expire (one fetch per host, legacy).
+  * 17. stop when frontier AND revisit schedule are empty, wave > maxWaves,
   *     or fetched >= maxUrls (checked at wave start).
   */
 class RefCrawler(cfg: CrawlConfig) {
@@ -166,23 +183,55 @@ class RefCrawler(cfg: CrawlConfig) {
   private var configRulesByHost: Map[String, Seq[RobotsRule]] =
     RobotsEval.byHost(cfg.robots)
 
-  /** fetchRobotsTxt mode: lazily resolved per-host robots state — rules
-    * fetched+parsed (config rules as fallback for hosts serving none) and
-    * the Crawl-delay-derived politeness budget. Cached: one fetch per host
-    * (per phase, for hosts [[runPhased]] invalidates at the boundary).
+  /** fetchRobotsTxt mode: per-host robots state — rules fetched+parsed
+    * (config rules as fallback for hosts serving none), the
+    * Crawl-delay-derived politeness budget, and the WAVE the resolution
+    * was acquired at (model point 16: with [[CrawlConfig.robotsTtlWaves]]
+    * the resolution expires ttl waves later and the host re-fetches on
+    * next need). A host resolves at its FIRST CANDIDATE APPEARANCE
+    * (post-scope, post-depth-cap, dedup outcome irrelevant — the same
+    * population the engine's acquisition anti-join sees); seed hosts are
+    * wave 0. One fetch per host while fresh (per phase, for hosts
+    * [[runPhased]] invalidates at the boundary).
     */
   private val resolved = scala.collection.mutable
-    .HashMap.empty[String, (Seq[RobotsRule], Option[Int])]
+    .HashMap.empty[String, (Seq[RobotsRule], Option[Int], Int)]
 
-  private def resolve(host: String): (Seq[RobotsRule], Option[Int]) =
+  /** Wave the crawl is currently executing (0 during seed admission) —
+    * the stamp on robots resolutions and the wave a time-varying robots
+    * server derives its body from.
+    */
+  private var curWave: Int = 0
+
+  /** Robots re-fetches this wave (model point 16) — rolled into
+    * [[WaveTotals.robots_refetched]].
+    */
+  private var robotsRefetchedInWave: Long = 0L
+
+  private def resolve(host: String): (Seq[RobotsRule], Option[Int], Int) =
     resolved.getOrElseUpdate(host,
-      cur.fetcher.fetchRobots(host) match {
+      cur.fetcher.fetchRobots(host, curWave) match {
         case Some(txt) =>
           val p = graft.functions.RobotsTxt.parse(host, txt, cur.userAgent)
           (p.rules, p.crawlDelaySeconds.map(d =>
-            graft.functions.RobotsTxt.budgetForDelay(d, cur.wavePeriodSeconds)))
-        case None => (configRulesByHost.getOrElse(host, Nil), None)
+            graft.functions.RobotsTxt.budgetForDelay(d, cur.wavePeriodSeconds)),
+            curWave)
+        case None => (configRulesByHost.getOrElse(host, Nil), None, curWave)
       })
+
+  /** Model point 16: re-resolve `host` now if its resolution has expired
+    * (no-op while fresh, or with the TTL off, or for never-resolved hosts
+    * — those resolve on first need and are trivially fresh).
+    */
+  private def refreshIfStale(host: String): Unit =
+    if (cur.fetchRobotsTxt && cur.robotsTtlWaves > 0)
+      resolved.get(host) match {
+        case Some((_, _, w0)) if curWave - w0 >= cur.robotsTtlWaves =>
+          resolved.remove(host)
+          resolve(host)
+          robotsRefetchedInWave += 1
+        case _ => ()
+      }
 
   private def rulesFor(host: String): Seq[RobotsRule] =
     if (!cur.fetchRobotsTxt) configRulesByHost.getOrElse(host, Nil)
@@ -271,6 +320,16 @@ class RefCrawler(cfg: CrawlConfig) {
         // marks its host encountered this wave, dedup outcome irrelevant
         if (cur.fetchSitemaps)
           waveCandidateHosts += CanonicalUrl.host(canonical)
+        // robots resolves at FIRST CANDIDATE APPEARANCE (the engine
+        // acquires for the candidate-host superset — pre-dedup — so the
+        // oracle pins the same fetch wave; output-invariant for
+        // wave-invariant bodies, load-bearing for time-varying ones), and
+        // an expired resolution refreshes here (model point 16)
+        if (cur.fetchRobotsTxt) {
+          val h = CanonicalUrl.host(canonical)
+          refreshIfStale(h)
+          resolve(h)
+        }
         admitPostCap(canonical, depth, seed)
       }
     }
@@ -356,6 +415,15 @@ class RefCrawler(cfg: CrawlConfig) {
         wave += 1
         maybeSwitch()
       } else {
+      curWave = wave
+      robotsRefetchedInWave = 0L
+      // robots TTL pre-pass (model point 16): every PENDING host whose
+      // resolution expired re-fetches at wave start — the fresh
+      // Crawl-delay budget binds at THIS wave's selection and the fresh
+      // rules at this wave's admissions (URLs already admitted still
+      // fetch: robots is checked at admission)
+      if (cur.fetchRobotsTxt && cur.robotsTtlWaves > 0)
+        pending.iterator.map(_.host).toSet[String].foreach(refreshIfStale)
       // backoff gate (model point 12): quarantined hosts sit this wave out
       // entirely; their pending URLs are backoff-deferred, not
       // budget-deferred
@@ -502,7 +570,7 @@ class RefCrawler(cfg: CrawlConfig) {
       totals += WaveTotals(wave, fetchedThisWave, discovered, deduped, denied,
         deferred.toLong, redirectedThisWave, cappedInWave, filteredThisWave,
         hostCappedInWave, contentDupThisWave, backoffDeferred, smUrls,
-        revisitsIn)
+        revisitsIn, robotsRefetchedInWave)
       wave += 1
       maybeSwitch()
       }

@@ -75,7 +75,20 @@ object SyntheticWeb {
                          * detects). 0 (default): nothing changes, so
                          * generation never affects any output.
                          */
-                       volatileUrlPct: Int = 0)
+                       volatileUrlPct: Int = 0,
+                       /** percent of hosts whose robots.txt BODY varies
+                         * with the wave it is fetched at — exercised only
+                         * when the crawl re-fetches robots
+                         * ([[CrawlConfig.robotsTtlWaves]] /
+                         * refetchRobotsOnResume): rules re-derive per
+                         * (host, wave), Crawl-delay appears/disappears,
+                         * and the host occasionally serves none (config
+                         * fallback). Non-selected hosts serve the fixed
+                         * per-host body at every wave. 0 (default): all
+                         * bodies are wave-invariant — byte-identical to
+                         * the pre-TTL stream.
+                         */
+                       volatileRobotsPct: Int = 0)
 
   /** Deterministic fetch outcome with hash-derived failure injection: a
     * pure function of (url, attempt, cfg), identical in the sequential
@@ -257,12 +270,30 @@ object SyntheticWeb {
     * of [[robotsFixture]] (asserted in RobotsTxtSpec), so a fetch-mode crawl
     * must equal a fixture-mode crawl bit-for-bit.
     */
-  def robotsTxt(host: String, cfg: WebConfig): Option[String] = {
+  def robotsTxt(host: String, cfg: WebConfig, wave: Int = 0): Option[String] = {
     if (!(host.startsWith("host") && host.endsWith(".test"))) return None
     val mid = host.substring(4, host.length - 5)
     if (mid.isEmpty || !mid.forall(_.isDigit)) return None
     val i = mid.toInt
     if (i >= cfg.hosts) return None
+    // volatile-robots hosts serve a (host, wave)-derived body: the rule
+    // set re-rolls per fetch wave, Crawl-delay comes and goes, and
+    // occasionally the host serves none at all (config-fallback path).
+    // Deterministic at any parallelism — the body depends only on the
+    // fetch wave, which engine and oracle pin identically.
+    if (cfg.volatileRobotsPct > 0 &&
+        fm(h(host + "|rvol"), 100) < cfg.volatileRobotsPct) {
+      val k = h(host + "|rw" + wave)
+      if (fm(k, 11) == 0) return None
+      val lines = Seq.newBuilder[String]
+      if (fm(k, 7) == 0) lines += "Disallow: /"
+      else {
+        lines += s"Disallow: /p/${fm(k, 10)}"
+        if (fm(k, 3) == 0) lines += s"Allow: /p/${fm(k, 10)}${fm(k, 10)}"
+      }
+      if (fm(k, 5) == 0) lines += s"Crawl-delay: ${1 + fm(k, 3)}"
+      return Some("User-agent: *\n" + lines.result().mkString("\n") + "\n")
+    }
     if (i == cfg.hosts - 1 && cfg.hosts > 2) Some("User-agent: *\nDisallow: /\n")
     else {
       val lines = Seq.newBuilder[String]

@@ -186,6 +186,17 @@ trait PageFetcher extends Serializable {
   def fetchAttempt(canonicalUrl: String, attempt: Int, generation: Int): FetchOutcome =
     fetchAttempt(canonicalUrl, attempt)
 
+  /** GET `http://<host>/robots.txt` AT a given crawl wave — the overload
+    * the engine actually calls. `wave` is the wave the fetch happens in
+    * (seed acquisition is wave 0): a time-varying robots server derives
+    * its body from (host, wave), which keeps re-fetch semantics
+    * ([[CrawlConfig.robotsTtlWaves]]) deterministic at any parallelism
+    * and across resume in every storage mode — no fetch-counter state to
+    * persist. The default ignores the wave, so every per-host fetcher
+    * serves the same body at every wave (legacy behavior, byte-stable).
+    */
+  def fetchRobots(host: String, wave: Int): Option[String] = fetchRobots(host)
+
   /** GET `http://<host>/robots.txt` — the raw body, or None when the host
     * serves none (or it is unreachable, which RFC 9309 §2.3.1 treats as
     * allow-all). Pure per host in the sandbox implementation; a real
@@ -214,6 +225,8 @@ case class SyntheticFetcher(web: SyntheticWeb.WebConfig) extends PageFetcher {
     SyntheticWeb.fetchOutcome(url, attempt, web, generation)
   override def fetchRobots(host: String): Option[String] =
     SyntheticWeb.robotsTxt(host, web)
+  override def fetchRobots(host: String, wave: Int): Option[String] =
+    SyntheticWeb.robotsTxt(host, web, wave)
   override def fetchSitemap(host: String): Option[String] =
     SyntheticWeb.sitemapTxt(host, web)
 }
@@ -417,6 +430,22 @@ case class CrawlConfig(
       * [[RefCrawler.runPhased]].
       */
     refetchRobotsOnResume: Boolean = false,
+    /** Robots CACHE TTL in waves (fetchRobotsTxt mode; the RFC 9309 §2.4
+      * cache-validity rule — real crawlers re-fetch robots.txt about
+      * daily): a host's robots resolution acquired at wave w0 expires at
+      * wave w0 + ttl. An EXPIRED host re-fetches `<host>/robots.txt` (via
+      * [[PageFetcher.fetchRobots(host:String,wave:Int)*]], so bodies may
+      * change over time) the next wave that needs it: at WAVE START when
+      * the host has pending URLs — the fresh Crawl-delay budget binds at
+      * that wave's selection — or at its next appearance among a wave's
+      * candidate hosts (admission uses the fresh rules). Fresh rules
+      * fully supersede (latest-wave-wins; a body that dropped its
+      * Crawl-delay also drops the budget). URLs admitted under older
+      * rules still fetch — robots is checked at admission, exactly the
+      * refetchRobotsOnResume semantics. 0 (default) = resolutions never
+      * expire (one fetch per host, legacy behavior).
+      */
+    robotsTtlWaves: Int = 0,
     /** Maximum discovery depth (BFS level): a candidate whose depth would
       * exceed this is DROPPED at discovery — it does NOT enter the
       * seen-set, so a later discovery through a shallower path can still
@@ -513,6 +542,9 @@ case class CrawlConfig(
     revisitAdaptive: Option[AdaptiveRevisit] = None) {
   require(maxDepth >= 0, "maxDepth must be >= 0 (seeds are depth 0)")
   require(maxUrlsPerHost >= 0, "maxUrlsPerHost must be >= 0")
+  require(robotsTtlWaves >= 0, "robotsTtlWaves must be >= 0 (0 = never expire)")
+  require(robotsTtlWaves == 0 || fetchRobotsTxt,
+    "robotsTtlWaves requires fetchRobotsTxt (fixture rules never expire)")
   require(revisitEveryWaves >= 0, "revisitEveryWaves must be >= 0 (0 = off)")
   revisitAdaptive.foreach { a =>
     require(revisitEveryWaves > 0,
