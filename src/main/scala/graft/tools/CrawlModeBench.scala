@@ -31,7 +31,11 @@ import org.apache.spark.sql.SparkSession
   * revisitAdaptive: same no-revisit-fires workload, plus the per-success
   * span fingerprinting, the adaptive schedule expressions and the
   * per-due-wave groupBy-collect — adaptive-vs-revisit is the pure
-  * overhead of interval adaptation.)
+  * overhead of interval adaptation. ttl = fetch + robotsTtlWaves=1, the
+  * WORST-case robots churn: every host's resolution expires every wave,
+  * so the stale-pending query + distributed re-fetch + broadcast swap
+  * run at full host width each wave — ttl-vs-fetch bounds the refetch
+  * machinery's cost from above; a real ttl amortizes it 1/ttl.)
   */
 object CrawlModeBench {
   def main(args: Array[String]): Unit = {
@@ -63,6 +67,7 @@ object CrawlModeBench {
       case "adaptive"    => (CrawlDriver.EngineConfig(), false)
       case "cdup-store"  => (CrawlDriver.EngineConfig(contentStorage = "store"), false)
       case "fetch"       => (CrawlDriver.EngineConfig(), true)
+      case "ttl"         => (CrawlDriver.EngineConfig(), true)
       case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
       case "scale"       => (CrawlDriver.EngineConfig(filterDistribution = "lazy",
         pendingStorage = "mor", seenStorage = "store"), false)
@@ -83,6 +88,7 @@ object CrawlModeBench {
         else if (m == "adaptive") c.copy(revisitEveryWaves = 1000,
           revisitAdaptive = Some(graft.crawl.AdaptiveRevisit(
             minWaves = 1, maxWaves = 2048)))
+        else if (m == "ttl") c.copy(robotsTtlWaves = 1)
         else c
       // warm (small), then timed (the Bench wide-wave regime)
       CrawlDriver.run(spark, withCap(cfgOf(101, 2000, 5000, fetch)),

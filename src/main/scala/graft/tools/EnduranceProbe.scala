@@ -141,6 +141,31 @@ object EnduranceProbe {
       "(revisitEveryWaves=3 + 30% volatile + cdup-store; pass = flat rdd census)",
       c = cfg.copy(web = rvWeb, seeds = SyntheticWeb.seedUrls(4, rvWeb),
         revisitEveryWaves = 3, contentDedup = true))
+    // adaptive-revisit leg: the same never-draining recrawl with per-URL
+    // interval adaptation — the carried (interval, fingerprint) columns
+    // ride every frontier/schedule row and the per-due-wave counts job
+    // runs every scheduling wave; pass = flat rdd census like revisit
+    probe("adaptive", CrawlDriver.EngineConfig(
+      filterDistribution = "lazy", pendingStorage = "mor",
+      seenStorage = "store", robotsStorage = "table", contentStorage = "store"),
+      "(revisit N=3 adaptive [1,8] + 30% volatile + cdup-store; pass = flat rdd census)",
+      c = cfg.copy(web = rvWeb, seeds = SyntheticWeb.seedUrls(4, rvWeb),
+        revisitEveryWaves = 3, contentDedup = true,
+        revisitAdaptive = Some(graft.crawl.AdaptiveRevisit(minWaves = 1,
+          maxWaves = 8))))
+    // robots-TTL leg: worst-case churn (ttl=1 — every pending host's
+    // resolution expires every wave), volatile bodies so the re-fetched
+    // rules actually change: the per-wave ttlRes checkpoint, the stale
+    // semi-join and the growing robots_rules/robots_hosts appends enter
+    // the release cycle every wave; pass = flat rdd census (table growth
+    // is durable-side and expected)
+    val ttlWeb = web.copy(volatileRobotsPct = 40)
+    probe("ttl", CrawlDriver.EngineConfig(
+      filterDistribution = "lazy", pendingStorage = "mor",
+      seenStorage = "store", robotsStorage = "table"),
+      "(robotsTtlWaves=1 + 40% volatile robots; pass = flat rdd census)",
+      c = cfg.copy(web = ttlWeb, seeds = SyntheticWeb.seedUrls(4, ttlWeb),
+        robotsTtlWaves = 1))
     spark.stop()
   }
 }
