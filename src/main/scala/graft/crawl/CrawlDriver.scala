@@ -293,7 +293,9 @@ object CrawlDriver {
     * robots rules allow the "/sitemap.xml" path (a denied host is
     * recorded probed with zero entries — ONE probe decision per host,
     * ever, whatever it yields). Cross-host entries are dropped inside the
-    * shared parser ([[graft.functions.Sitemap.entries]]). The (host,
+    * shared parser, and an INDEX body expands to its children's entries
+    * via per-child `fetchSitemapAt` calls INSIDE the same task
+    * ([[graft.functions.Sitemap.expand]]). The (host,
     * locs) result is localCheckpointed: one fetch per host feeds the
     * candidate chain, the probed-state update AND the async commit append
     * — the caller must hand it to the checkpoint-release queue.
@@ -307,8 +309,9 @@ object CrawlDriver {
         val entries =
           if (!ok) Vector.empty[String]
           else f.fetchSitemap(h) match {
-            case Some(body) => graft.functions.Sitemap.entries(h, body).toVector
-            case None       => Vector.empty[String]
+            case Some(body) =>
+              graft.functions.Sitemap.expand(h, body, f.fetchSitemapAt).toVector
+            case None => Vector.empty[String]
           }
         (h, entries)
       })
@@ -428,7 +431,7 @@ object CrawlDriver {
         math.max(1, spark.sessionState.conf.numShufflePartitions)))
       .mapPartitions(_.map { h =>
         (h, fetcher.fetchSitemap(h)
-          .map(b => graft.functions.Sitemap.entries(h, b).toVector)
+          .map(b => graft.functions.Sitemap.expand(h, b, fetcher.fetchSitemapAt).toVector)
           .getOrElse(Vector.empty[String]))
       })
       .collect().toMap

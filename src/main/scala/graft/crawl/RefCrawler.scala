@@ -109,7 +109,12 @@ case class WaveTotals(
   *     ONCE for `http://<host>/sitemap.xml` at END of the wave's page
   *     admissions — gated on the host's robots rules allowing the
   *     "/sitemap.xml" path. Hosts are probed in sorted order; each
-  *     sitemap's same-host entries ([[graft.functions.Sitemap.entries]])
+  *     sitemap's same-host entries ([[graft.functions.Sitemap.expand]] —
+  *     an INDEX body at the probe path expands to the concatenation of
+  *     its same-host children's entries in index document order, each
+  *     child fetched once via [[PageFetcher.fetchSitemapAt]] under the
+  *     host's single probe decision; nested/self-referencing index
+  *     children and unserved children contribute nothing)
   *     are admitted in document order at depth 1 through the standard
   *     guards (scope → depth cap → seen-dedup → host cap → robots), so
   *     the wave's admission order is: every page-derived candidate, then
@@ -367,7 +372,8 @@ class RefCrawler(cfg: CrawlConfig) {
           sitemapDone += h
           if (RobotsEval.allowed(rulesFor(h), "/sitemap.xml"))
             cur.fetcher.fetchSitemap(h).foreach { body =>
-              graft.functions.Sitemap.entries(h, body).foreach { c =>
+              graft.functions.Sitemap.expand(h, body,
+                  cur.fetcher.fetchSitemapAt).foreach { c =>
                 urls += 1
                 if (!cur.scope.allows(c)) filt += 1
                 else {

@@ -56,6 +56,15 @@ object SyntheticWeb {
                          * web config changes nothing.
                          */
                        sitemapHostPct: Int = 0,
+                       /** among sitemap-SERVING hosts, the percent whose
+                         * `/sitemap.xml` is an INDEX file
+                         * (`<sitemapindex>` listing `/sitemap-<j>.xml`
+                         * children) instead of a plain urlset —
+                         * hash-derived from the host. 0 (default): every
+                         * served sitemap is a urlset, byte-identical to
+                         * the pre-index generator.
+                         */
+                       sitemapIndexPct: Int = 0,
                        /** >0: page CONTENT (the span sequence) derives not
                          * from the URL but from a hash-collapsed content
                          * key with this many distinct values — URLs
@@ -315,6 +324,19 @@ object SyntheticWeb {
     * that the sitemaps.org cross-submission rule must drop.
     */
   def sitemapTxt(host: String, cfg: WebConfig): Option[String] = {
+    sitemapHostId(host, cfg).map { i =>
+      if (cfg.sitemapIndexPct > 0 &&
+          fm(h(host + "|smidx"), 100) < cfg.sitemapIndexPct)
+        sitemapIndexBody(host, i, cfg)
+      else sitemapUrlsetBody(host, i, "", cfg)
+    }
+  }
+
+  /** Host id when the host both exists in the synthetic space AND is
+    * selected to serve a sitemap — the shared eligibility gate for the
+    * probe path and child sitemap URLs.
+    */
+  private def sitemapHostId(host: String, cfg: WebConfig): Option[Int] = {
     if (cfg.sitemapHostPct <= 0) return None
     if (!(host.startsWith("host") && host.endsWith(".test"))) return None
     val mid = host.substring(4, host.length - 5)
@@ -322,14 +344,23 @@ object SyntheticWeb {
     val i = mid.toInt
     if (i >= cfg.hosts) return None
     if (fm(h(host + "|sm"), 100) >= cfg.sitemapHostPct) return None
-    val n = 3 + fm(h(host + "|smn"), 10) // 3..12 entries
+    Some(i)
+  }
+
+  /** One urlset body; `salt` = "" for the probe-path body (keys — and
+    * therefore bytes — identical to the pre-index generator) or "|c<j>"
+    * for index child j, so every child carries its own entry list.
+    */
+  private def sitemapUrlsetBody(host: String, i: Int, salt: String,
+                                cfg: WebConfig): String = {
+    val n = 3 + fm(h(host + salt + "|smn"), 10) // 3..12 entries
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
     sb ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
     var j = 0
     var prev: String = null
     while (j < n) {
-      val hj = h(host + "|smloc|" + j)
+      val hj = h(host + salt + "|smloc|" + j)
       val loc =
         if (j > 0 && fm(hj >>> 48, 8) == 0) prev // ~1/8 duplicate entry
         else {
@@ -349,7 +380,70 @@ object SyntheticWeb {
       j += 1
     }
     sb ++= "</urlset>\n"
-    Some(sb.toString)
+    sb.toString
+  }
+
+  /** Served index children per index-serving host: 2..4. */
+  private[crawl] def sitemapChildCount(host: String): Int =
+    2 + fm(h(host + "|smidxn"), 3)
+
+  /** An index body at the probe path: `<sitemap><loc>` children at
+    * `/sitemap-<j>.xml` (one in raw uppercase form to exercise
+    * resolution, ~1/4 repeated — fetched once), plus hash-selected hard
+    * cases: a self-reference to `/sitemap.xml` (the nested-index guard),
+    * a CROSS-HOST child (dropped before any fetch), and an UNSERVED
+    * child path (fetch yields None).
+    */
+  private def sitemapIndexBody(host: String, i: Int, cfg: WebConfig): String = {
+    val n = sitemapChildCount(host)
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+    def add(loc: String): Unit = {
+      sb ++= "  <sitemap><loc>"; sb ++= loc; sb ++= "</loc></sitemap>\n"
+    }
+    var j = 0
+    while (j < n) {
+      val hj = h(host + "|smidxloc|" + j)
+      val loc =
+        if (fm(hj >>> 40, 6) == 0) s"http://HOST$i.TEST/sitemap-$j.xml"
+        else s"http://host$i.test/sitemap-$j.xml"
+      add(loc)
+      if (fm(hj >>> 50, 4) == 0) add(loc) // ~1/4 duplicate child
+      j += 1
+    }
+    val hx = h(host + "|smidxx")
+    if (fm(hx, 3) == 0) add(s"http://host$i.test/sitemap.xml")
+    if (cfg.hosts > 1 && fm(hx >>> 8, 3) == 0)
+      add(s"http://host${(i + 1) % cfg.hosts}.test/sitemap-0.xml")
+    if (fm(hx >>> 16, 3) == 0) add(s"http://host$i.test/sitemap-$n.xml")
+    sb ++= "</sitemapindex>\n"
+    sb.toString
+  }
+
+  /** The body served at an individual sitemap URL (an index file's
+    * child): `/sitemap-<j>.xml` for j below the host's child count when
+    * the host serves an index; `/sitemap.xml` serves whatever the probe
+    * path serves (so a self-referencing index child returns the index
+    * body — the nested-index guard's live case); anything else → None.
+    * Pure function of (url, cfg).
+    */
+  def sitemapAt(url: String, cfg: WebConfig): Option[String] = {
+    val ChildRe = "http://(host[0-9]+\\.test)/sitemap-([0-9]+)\\.xml".r
+    val ProbeRe = "http://(host[0-9]+\\.test)/sitemap\\.xml".r
+    url match {
+      case ChildRe(host, js) =>
+        sitemapHostId(host, cfg).flatMap { i =>
+          val j = js.toInt
+          val isIdx = cfg.sitemapIndexPct > 0 &&
+            fm(h(host + "|smidx"), 100) < cfg.sitemapIndexPct
+          if (isIdx && j < sitemapChildCount(host))
+            Some(sitemapUrlsetBody(host, i, "|c" + j, cfg))
+          else None
+        }
+      case ProbeRe(host) => sitemapTxt(host, cfg)
+      case _             => None
+    }
   }
 
   /** Robots fixture (FIXTURES.md §A5) over live page paths so the rules

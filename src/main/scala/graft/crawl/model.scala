@@ -211,6 +211,14 @@ trait PageFetcher extends Serializable {
     * sitemap index files behind this signature.
     */
   def fetchSitemap(host: String): Option[String] = None
+
+  /** GET an individual sitemap URL — a CHILD listed by an index file
+    * served at the well-known path ([[graft.functions.Sitemap.expand]]).
+    * None when the host does not serve it. Only ever called with
+    * same-host URLs taken from an index body; legacy fetchers (urlset at
+    * the probe path, or no sitemap at all) never receive a call.
+    */
+  def fetchSitemapAt(url: String): Option[String] = None
 }
 
 /** Deterministic sandbox fetcher over [[SyntheticWeb]] — incl. the
@@ -229,6 +237,8 @@ case class SyntheticFetcher(web: SyntheticWeb.WebConfig) extends PageFetcher {
     SyntheticWeb.robotsTxt(host, web, wave)
   override def fetchSitemap(host: String): Option[String] =
     SyntheticWeb.sitemapTxt(host, web)
+  override def fetchSitemapAt(url: String): Option[String] =
+    SyntheticWeb.sitemapAt(url, web)
 }
 
 /** One permanently failed fetch (transient retries exhausted, or a

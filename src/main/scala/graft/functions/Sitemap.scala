@@ -5,11 +5,14 @@ package graft.functions
   * from a sitemap body cannot drift between them (the same discipline as
   * [[RobotsTxt]] / [[graft.crawl.RobotsEval]]).
   *
-  * Scope: `<loc>` extraction from a urlset document plus the XML
-  * character-entity unescapes the protocol requires of writers
-  * (sitemaps.org: loc values must be entity-escaped). Index files,
-  * gzip payloads and the optional per-URL metadata (lastmod/changefreq/
-  * priority) are out of scope — a real deployment layers them behind
+  * Scope: `<loc>` extraction from urlset documents, INDEX files
+  * (`<sitemapindex>` — each same-host child sitemap fetched through the
+  * caller-supplied `fetchAt` and its urlset entries concatenated in index
+  * document order, see [[expand]]), plus the XML character-entity
+  * unescapes the protocol requires of writers (sitemaps.org: loc values
+  * must be entity-escaped). Gzip payloads and the optional per-URL
+  * metadata (lastmod/changefreq/priority) remain out of scope — a real
+  * deployment layers them behind
   * [[graft.crawl.PageFetcher.fetchSitemap]] without touching the engine.
   */
 object Sitemap {
@@ -63,10 +66,57 @@ object Sitemap {
     * cross-submission handshake). Document order preserved; duplicates
     * kept (the crawl's first-occurrence dedup owns that).
     */
-  def entries(host: String, body: String): IndexedSeq[String] = {
+  def entries(host: String, body: String): IndexedSeq[String] =
+    entriesAt(host, s"http://$host/sitemap.xml", body)
+
+  /** [[entries]] with an explicit base URL for relative-loc resolution —
+    * a CHILD sitemap's entries resolve against the child's own URL
+    * (RFC 3986 §5.1.3), not the well-known probe path.
+    */
+  def entriesAt(host: String, baseUrl: String, body: String): IndexedSeq[String] =
+    locs(body)
+      .map(raw => CanonicalUrl.resolve(baseUrl, raw))
+      .filter(c => CanonicalUrl.host(c) == host)
+
+  /** An INDEX file (sitemaps.org `<sitemapindex>`) vs a plain urlset —
+    * tag presence, tolerant of attributes/namespace prefixes the way the
+    * loc scan is.
+    */
+  def isIndex(body: String): Boolean = body.contains("<sitemapindex")
+
+  /** The host's full sitemap entry list from the body served at the
+    * well-known probe path: a plain urlset yields its [[entries]]
+    * directly (zero `fetchAt` calls — legacy fetchers never see the new
+    * signature); an index file yields the concatenation, in index
+    * document order, of each child sitemap's entries. Child rules (all
+    * deterministic, shared engine/oracle):
+    *   - child locs resolve against the probe path and must stay
+    *     same-host (the cross-submission rule, as for entries);
+    *   - a repeated child loc is fetched ONCE (first occurrence keeps
+    *     the position);
+    *   - a child that is itself an index is IGNORED — sitemaps.org
+    *     forbids nested index files, and this is also the loop guard
+    *     (an index listing itself terminates here);
+    *   - a child the host does not serve (`fetchAt` → None) contributes
+    *     nothing.
+    * The robots gate stays the single per-host probe decision on
+    * "/sitemap.xml" — child fetches are part of that one probe, exactly
+    * like a real crawler's sitemap processor run.
+    */
+  def expand(host: String, body: String,
+             fetchAt: String => Option[String]): IndexedSeq[String] = {
+    if (!isIndex(body)) return entries(host, body)
     val base = s"http://$host/sitemap.xml"
+    val seen = scala.collection.mutable.HashSet.empty[String]
     locs(body)
       .map(raw => CanonicalUrl.resolve(base, raw))
       .filter(c => CanonicalUrl.host(c) == host)
+      .filter(seen.add)
+      .flatMap { child =>
+        fetchAt(child) match {
+          case Some(b) if !isIndex(b) => entriesAt(host, child, b)
+          case _                      => Vector.empty[String]
+        }
+      }
   }
 }
