@@ -288,11 +288,13 @@ object CrawlDriver {
   }
 
   /** Distributed sitemap probe over a (host, __smok) DataFrame
-    * (cfg.fetchSitemaps): `http://<host>/sitemap.xml` fetched + parsed ON
-    * EXECUTORS exactly like robots acquisition; `__smok` = the host's
-    * robots rules allow the "/sitemap.xml" path (a denied host is
-    * recorded probed with zero entries — ONE probe decision per host,
-    * ever, whatever it yields). Cross-host entries are dropped inside the
+    * (cfg.fetchSitemaps): discovery runs ON EXECUTORS exactly like
+    * robots acquisition — robots-declared `Sitemap:` directives first,
+    * falling back to `http://<host>/sitemap.xml`; `__smok` = the host's
+    * robots rules allow the "/sitemap.xml" path and gates ONLY that
+    * fallback (a denied, nothing-declared host is recorded probed with
+    * zero entries — ONE probe decision per host, ever, whatever it
+    * yields). Cross-host entries are dropped inside the
     * shared parser, and an INDEX body expands to its children's entries
     * via per-child `fetchSitemapAt` calls INSIDE the same task
     * ([[graft.functions.Sitemap.expand]]). The (host,
@@ -301,22 +303,39 @@ object CrawlDriver {
     * — the caller must hand it to the checkpoint-release queue.
     */
   private def probeSitemapsDf(spark: SparkSession, fetcher: PageFetcher,
-      gated: DataFrame): DataFrame = {
+      gated: DataFrame, wave: Int, useDirectives: Boolean): DataFrame = {
     import spark.implicits._
     val f = fetcher
+    val w = wave
+    val dir = useDirectives
     gated.select($"host", $"__smok").as[(String, Boolean)]
       .mapPartitions(_.map { case (h, ok) =>
-        val entries =
-          if (!ok) Vector.empty[String]
-          else f.fetchSitemap(h) match {
-            case Some(body) =>
-              graft.functions.Sitemap.expand(h, body, f.fetchSitemapAt).toVector
-            case None => Vector.empty[String]
-          }
-        (h, entries)
+        (h, discoverEntries(f, h, ok, w, dir))
       })
       .toDF("host", "locs")
       .localCheckpoint(false)
+  }
+
+  /** One host's full sitemap entry list under the discovery rules
+    * (oracle model point 13): robots-DECLARED `Sitemap:` directives
+    * first — read from the robots body served at probe time (for a real
+    * fetcher a cache read; for the synthetic web the wave-granular pure
+    * body, so both engine and oracle see the same bytes), consulted only
+    * when the crawl fetches robots at all — and the robots-gated
+    * well-known-path probe as the fallback when nothing is declared. A
+    * declared sitemap is the host's explicit submission, so it is
+    * fetched without a per-path robots gate (`smok` gates only the
+    * fallback probe).
+    */
+  private def discoverEntries(f: PageFetcher, h: String, smok: Boolean,
+      wave: Int, useDirectives: Boolean): Vector[String] = {
+    val declared: Seq[String] =
+      if (!useDirectives) Nil
+      else f.fetchRobots(h, wave)
+        .map(b => graft.functions.RobotsTxt.sitemapUrls(h, b))
+        .getOrElse(Vector.empty[String])
+    graft.functions.Sitemap.discover(h, declared, smok,
+      () => f.fetchSitemap(h), f.fetchSitemapAt).toVector
   }
 
   /** A sitemap probe's entries as admission-chain candidate rows. The
@@ -415,7 +434,8 @@ object CrawlDriver {
       .map(t => HostRobots(t._1, t._2, t._3, t._4)).toSeq
   }
 
-  /** Fetch+parse `/sitemap.xml` for each (robots-allowed) host ON
+  /** Run sitemap discovery (declared directives, then the robots-gated
+    * `/sitemap.xml` fallback) for each (host, fallback-allowed) pair ON
     * EXECUTORS, entries collected back per host — the SMALL-SEED-PATH
     * companion of [[probeSitemapsDf]] (that path's admission is a driver
     * loop over the ≤ seedIngestLocalMax seed list by design, so the
@@ -423,16 +443,14 @@ object CrawlDriver {
     * ingest route through [[probeSitemapsDf]] and never collect them).
     */
   private def fetchSitemapsDistributed(spark: SparkSession, fetcher: PageFetcher,
-      hosts: Seq[String]): Map[String, Seq[String]] = {
+      hosts: Seq[(String, Boolean)], useDirectives: Boolean): Map[String, Seq[String]] = {
     import spark.implicits._
     if (hosts.isEmpty) Map.empty
     else spark.createDataset(hosts.toIndexedSeq)
       .repartition(math.min(hosts.length,
         math.max(1, spark.sessionState.conf.numShufflePartitions)))
-      .mapPartitions(_.map { h =>
-        (h, fetcher.fetchSitemap(h)
-          .map(b => graft.functions.Sitemap.expand(h, b, fetcher.fetchSitemapAt).toVector)
-          .getOrElse(Vector.empty[String]))
+      .mapPartitions(_.map { case (h, ok) =>
+        (h, discoverEntries(fetcher, h, ok, wave = 0, useDirectives))
       })
       .collect().toMap
   }
@@ -782,9 +800,10 @@ object CrawlDriver {
     val smRows: Seq[(String, String, Long, Int, Long, Int, Int, Int, Boolean)] =
       if (!cfg.fetchSitemaps) Nil
       else {
-        val gated = smHostRows.filter(h =>
-          RobotsEval.allowed(rulesByHost.getOrElse(h, Nil), "/sitemap.xml"))
-        val entriesByHost = fetchSitemapsDistributed(spark, cfg.fetcher, gated)
+        val gated = smHostRows.map(h =>
+          (h, RobotsEval.allowed(rulesByHost.getOrElse(h, Nil), "/sitemap.xml")))
+        val entriesByHost = fetchSitemapsDistributed(spark, cfg.fetcher, gated,
+          useDirectives = cfg.fetchRobotsTxt)
         val seenSet = scala.collection.mutable.HashSet.empty[String]
         val hostAdm = scala.collection.mutable.HashMap.empty[String, Long]
         seedRows.foreach { r =>
@@ -1052,7 +1071,8 @@ object CrawlDriver {
           lit(0).as("depth"))
         val gated = admitRobots(probe)
           .select($"host", $"__allowed".as("__smok"))
-        val res = probeSitemapsDf(spark, cfg.fetcher, gated)
+        val res = probeSitemapsDf(spark, cfg.fetcher, gated, wave = 0,
+          useDirectives = cfg.fetchRobotsTxt)
         seedCkpts ::= res
         val stats = res.agg(count(lit(1)),
           coalesce(sum(size($"locs")), lit(0L))).head()
@@ -2359,7 +2379,8 @@ object CrawlDriver {
                   hostsKnown.unionByName(newHostRows), hintRobots)
                   .select($"host", $"__allowed".as("__smok"))
               }
-            val res = probeSitemapsDf(spark, fetcher, gated)
+            val res = probeSitemapsDf(spark, fetcher, gated, wave,
+              useDirectives = cfg.fetchRobotsTxt)
             smRes = Some(res)
             val r = res.agg(count(lit(1)),
               coalesce(sum(size($"locs")), lit(0L))).head()

@@ -108,7 +108,17 @@ case class WaveTotals(
   *     included — the seed list is "wave 0"'s candidate set), is probed
   *     ONCE for `http://<host>/sitemap.xml` at END of the wave's page
   *     admissions — gated on the host's robots rules allowing the
-  *     "/sitemap.xml" path. Hosts are probed in sorted order; each
+  *     "/sitemap.xml" path. Hosts are probed in sorted order. DISCOVERY
+  *     ([[graft.functions.Sitemap.discover]]): when the crawl fetches
+  *     robots ([[CrawlConfig.fetchRobotsTxt]]), the robots body served
+  *     at probe time is consulted for same-host `Sitemap:` declarations
+  *     ([[graft.functions.RobotsTxt.sitemapUrls]] — declaration order,
+  *     deduped, cross-host dropped); when any exist, they are the
+  *     host's sitemap list — each fetched once WITHOUT a per-path
+  *     robots gate (the declaration is the host's submission) and
+  *     expanded at its own URL — and the well-known-path probe does not
+  *     happen. Otherwise the robots-gated `/sitemap.xml` fallback
+  *     applies; each
   *     sitemap's same-host entries ([[graft.functions.Sitemap.expand]] —
   *     an INDEX body at the probe path expands to the concatenation of
   *     its same-host children's entries in index document order, each
@@ -364,24 +374,34 @@ class RefCrawler(cfg: CrawlConfig) {
     // of the wave. Returns (entries evaluated, scope-filtered, discovered,
     // deduped, denied); depth-capped entries count into cappedInWave via
     // admit(). A probe is recorded once per host ever, whatever it yields.
-    def sitemapPass(): (Long, Long, Long, Long, Long) = {
+    def sitemapPass(probeWave: Int): (Long, Long, Long, Long, Long) = {
       var urls = 0L; var filt = 0L; var disc = 0L; var dd = 0L; var den = 0L
       if (cur.fetchSitemaps) {
         val hosts = waveCandidateHosts.toSeq.filterNot(sitemapDone).sorted
         hosts.foreach { h =>
           sitemapDone += h
-          if (RobotsEval.allowed(rulesFor(h), "/sitemap.xml"))
-            cur.fetcher.fetchSitemap(h).foreach { body =>
-              graft.functions.Sitemap.expand(h, body,
-                  cur.fetcher.fetchSitemapAt).foreach { c =>
-                urls += 1
-                if (!cur.scope.allows(c)) filt += 1
-                else {
-                  val (d, x, n) = admit(c, 1)
-                  disc += d; dd += x; den += n
-                }
-              }
+          // discovery: robots-DECLARED `Sitemap:` directives first (read
+          // from the robots body served at probe time — wave-granular,
+          // identical bytes to the engine's executor-side read; only when
+          // the crawl fetches robots at all), else the robots-gated
+          // well-known-path probe. A declared sitemap is the host's own
+          // submission: fetched without a per-path gate.
+          val declared: Seq[String] =
+            if (!cur.fetchRobotsTxt) Nil
+            else cur.fetcher.fetchRobots(h, probeWave)
+              .map(b => graft.functions.RobotsTxt.sitemapUrls(h, b))
+              .getOrElse(Vector.empty[String])
+          graft.functions.Sitemap.discover(h, declared,
+              RobotsEval.allowed(rulesFor(h), "/sitemap.xml"),
+              () => cur.fetcher.fetchSitemap(h),
+              cur.fetcher.fetchSitemapAt).foreach { c =>
+            urls += 1
+            if (!cur.scope.allows(c)) filt += 1
+            else {
+              val (d, x, n) = admit(c, 1)
+              disc += d; dd += x; den += n
             }
+          }
         }
         waveCandidateHosts.clear()
       }
@@ -389,7 +409,7 @@ class RefCrawler(cfg: CrawlConfig) {
     }
 
     cur.seeds.foreach(s => admit(CanonicalUrl.canonicalize(s), depth = 0, seed = true))
-    sitemapPass() // seed hosts are wave 0's candidate set; counters discarded
+    sitemapPass(0) // seed hosts are wave 0's candidate set; counters discarded
 
     // revisit schedule (model point 14): (due wave, re-entry) — mutated only
     // while cur.revisitEveryWaves > 0; persists across phases, dropped on a
@@ -558,7 +578,7 @@ class RefCrawler(cfg: CrawlConfig) {
       }
       // sitemap admissions (model point 13): after every page-derived
       // admission of the wave, ordered (host ASC, entry index ASC)
-      val (smUrls, smFilt, smDisc, smDd, smDen) = sitemapPass()
+      val (smUrls, smFilt, smDisc, smDd, smDen) = sitemapPass(wave)
       filteredThisWave += smFilt
       discovered += smDisc; deduped += smDd; denied += smDen
       fetchedTotal += fetchedThisWave

@@ -65,6 +65,17 @@ object SyntheticWeb {
                          * the pre-index generator.
                          */
                        sitemapIndexPct: Int = 0,
+                       /** percent of hosts whose robots body carries
+                         * `Sitemap:` DECLARATION lines (sitemaps.org
+                         * discovery) — hash-derived from the host,
+                         * independent of `sitemapHostPct` (a host may
+                         * declare without serving the well-known path,
+                         * and vice versa); a rule-less selected host
+                         * serves a robots body of only these lines.
+                         * 0 (default): bodies byte-identical to the
+                         * pre-directive generator.
+                         */
+                       sitemapDirectivePct: Int = 0,
                        /** >0: page CONTENT (the span sequence) derives not
                          * from the URL but from a hash-collapsed content
                          * key with this many distinct values — URLs
@@ -280,6 +291,13 @@ object SyntheticWeb {
     * must equal a fixture-mode crawl bit-for-bit.
     */
   def robotsTxt(host: String, cfg: WebConfig, wave: Int = 0): Option[String] = {
+    val base = robotsTxtBase(host, cfg, wave)
+    val dirs = sitemapDirectiveLines(host, cfg)
+    if (dirs.isEmpty) base
+    else Some(base.getOrElse("") + dirs.mkString("\n") + "\n")
+  }
+
+  private def robotsTxtBase(host: String, cfg: WebConfig, wave: Int): Option[String] = {
     if (!(host.startsWith("host") && host.endsWith(".test"))) return None
     val mid = host.substring(4, host.length - 5)
     if (mid.isEmpty || !mid.forall(_.isDigit)) return None
@@ -383,6 +401,37 @@ object SyntheticWeb {
     sb.toString
   }
 
+  /** `Sitemap:` directive lines appended to the host's robots body
+    * (`sitemapDirectivePct`): always a first declared sitemap at
+    * `/smd-0.xml` (one raw-uppercase variant in 5 to exercise
+    * canonicalization), plus hash-selected hard cases — a second
+    * declared sitemap `/smd-1.xml` (an INDEX body for half such hosts),
+    * a CROSS-HOST declaration (dropped), the well-known `/sitemap.xml`
+    * as a declared URL, and a repeat of the first line (fetched once).
+    * A rule-less selected host serves a body with only these lines.
+    */
+  private def sitemapDirectiveLines(host: String, cfg: WebConfig): Seq[String] = {
+    if (cfg.sitemapDirectivePct <= 0) return Nil
+    if (!(host.startsWith("host") && host.endsWith(".test"))) return Nil
+    val mid = host.substring(4, host.length - 5)
+    if (mid.isEmpty || !mid.forall(_.isDigit)) return Nil
+    val i = mid.toInt
+    if (i >= cfg.hosts) return Nil
+    if (fm(h(host + "|smdir"), 100) >= cfg.sitemapDirectivePct) return Nil
+    val hd = h(host + "|smdirx")
+    val first =
+      if (fm(hd, 5) == 0) s"Sitemap: http://HOST$i.TEST/smd-0.xml"
+      else s"Sitemap: http://host$i.test/smd-0.xml"
+    val l = Seq.newBuilder[String]
+    l += first
+    if (fm(hd >>> 8, 3) == 0) l += s"Sitemap: http://host$i.test/smd-1.xml"
+    if (cfg.hosts > 1 && fm(hd >>> 16, 3) == 0)
+      l += s"Sitemap: http://host${(i + 1) % cfg.hosts}.test/smd-0.xml"
+    if (fm(hd >>> 24, 3) == 0) l += s"Sitemap: http://host$i.test/sitemap.xml"
+    if (fm(hd >>> 32, 4) == 0) l += first
+    l.result()
+  }
+
   /** Served index children per index-serving host: 2..4. */
   private[crawl] def sitemapChildCount(host: String): Int =
     2 + fm(h(host + "|smidxn"), 3)
@@ -431,6 +480,17 @@ object SyntheticWeb {
   def sitemapAt(url: String, cfg: WebConfig): Option[String] = {
     val ChildRe = "http://(host[0-9]+\\.test)/sitemap-([0-9]+)\\.xml".r
     val ProbeRe = "http://(host[0-9]+\\.test)/sitemap\\.xml".r
+    val DirRe = "http://(host[0-9]+\\.test)/smd-([0-9]+)\\.xml".r
+    val DirChildRe = "http://(host[0-9]+\\.test)/smd-c([0-9]+)\\.xml".r
+    def dirHostId(host: String): Option[Int] = {
+      if (cfg.sitemapDirectivePct <= 0) return None
+      val mid = host.substring(4, host.length - 5)
+      if (mid.isEmpty || !mid.forall(_.isDigit)) return None
+      val i = mid.toInt
+      if (i >= cfg.hosts) return None
+      if (fm(h(host + "|smdir"), 100) >= cfg.sitemapDirectivePct) return None
+      Some(i)
+    }
     url match {
       case ChildRe(host, js) =>
         sitemapHostId(host, cfg).flatMap { i =>
@@ -440,6 +500,29 @@ object SyntheticWeb {
           if (isIdx && j < sitemapChildCount(host))
             Some(sitemapUrlsetBody(host, i, "|c" + j, cfg))
           else None
+        }
+      case DirRe(host, ks) =>
+        dirHostId(host).flatMap { i =>
+          val hd = h(host + "|smdirx")
+          ks.toInt match {
+            case 0 => Some(sitemapUrlsetBody(host, i, "|d0", cfg))
+            case 1 if fm(hd >>> 8, 3) == 0 =>
+              // the second declared sitemap — an INDEX for half such
+              // hosts (exercises expandAt on a declared index)
+              if (fm(hd >>> 40, 2) == 0) Some(
+                "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+                  "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+                  s"  <sitemap><loc>http://$host/smd-c0.xml</loc></sitemap>\n" +
+                  s"  <sitemap><loc>http://$host/smd-c1.xml</loc></sitemap>\n" +
+                  "</sitemapindex>\n")
+              else Some(sitemapUrlsetBody(host, i, "|d1", cfg))
+            case _ => None
+          }
+        }
+      case DirChildRe(host, js) =>
+        dirHostId(host).flatMap { i =>
+          val j = js.toInt
+          if (j < 2) Some(sitemapUrlsetBody(host, i, "|dc" + j, cfg)) else None
         }
       case ProbeRe(host) => sitemapTxt(host, cfg)
       case _             => None

@@ -108,6 +108,39 @@ object RobotsTxt {
     Parsed(rules.result(), crawlDelay)
   }
 
+  /** The robots body's `Sitemap:` directives (sitemaps.org discovery —
+    * group-INDEPENDENT per the spec, so every such line counts wherever
+    * it appears), in declaration order: values resolved against
+    * `http://<host>/robots.txt` (the spec requires absolute URLs;
+    * relative writer errors resolve harmlessly), canonicalized, kept
+    * only if SAME-HOST (cross-host submission needs a handshake we —
+    * like the cross-submission rule for entries — don't model), and
+    * deduplicated keeping the first occurrence. Field name matched
+    * case-insensitively; `#` starts a comment as on every robots line.
+    */
+  def sitemapUrls(host: String, content: String): IndexedSeq[String] = {
+    val base = s"http://$host/robots.txt"
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    content.linesIterator.flatMap { raw =>
+      val noComment = {
+        val i = raw.indexOf('#')
+        if (i >= 0) raw.substring(0, i) else raw
+      }
+      val j = noComment.indexOf(':')
+      if (j < 0) None
+      else if (noComment.substring(0, j).trim.toLowerCase != "sitemap") None
+      else {
+        val v = noComment.substring(j + 1).trim
+        if (v.isEmpty) None
+        else {
+          val c = graft.functions.CanonicalUrl.resolve(base, v)
+          if (graft.functions.CanonicalUrl.host(c) == host && seen.add(c)) Some(c)
+          else None
+        }
+      }
+    }.toIndexedSeq
+  }
+
   /** Map a Crawl-delay (seconds between requests) to a per-wave politeness
     * budget, given the wave period the scheduler targets: a host asking for
     * delay d gets at most floor(period / d) fetches per wave, at least 1.

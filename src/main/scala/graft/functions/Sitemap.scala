@@ -104,12 +104,19 @@ object Sitemap {
     * like a real crawler's sitemap processor run.
     */
   def expand(host: String, body: String,
-             fetchAt: String => Option[String]): IndexedSeq[String] = {
-    if (!isIndex(body)) return entries(host, body)
-    val base = s"http://$host/sitemap.xml"
+             fetchAt: String => Option[String]): IndexedSeq[String] =
+    expandAt(host, s"http://$host/sitemap.xml", body, fetchAt)
+
+  /** [[expand]] for a sitemap served at an arbitrary same-host URL (a
+    * robots.txt `Sitemap:` directive target): child locs and entries
+    * resolve against THAT url.
+    */
+  def expandAt(host: String, url: String, body: String,
+               fetchAt: String => Option[String]): IndexedSeq[String] = {
+    if (!isIndex(body)) return entriesAt(host, url, body)
     val seen = scala.collection.mutable.HashSet.empty[String]
     locs(body)
-      .map(raw => CanonicalUrl.resolve(base, raw))
+      .map(raw => CanonicalUrl.resolve(url, raw))
       .filter(c => CanonicalUrl.host(c) == host)
       .filter(seen.add)
       .flatMap { child =>
@@ -118,5 +125,32 @@ object Sitemap {
           case _                      => Vector.empty[String]
         }
       }
+  }
+
+  /** The host's full sitemap entry list under robots-declared discovery
+    * (sitemaps.org "Sitemap:" submission): when `declared` is non-empty,
+    * each declared sitemap is fetched once (first occurrence wins the
+    * dedup) and expanded at its own URL — the declaration is the host's
+    * explicit submission, so no well-known-path probe happens and no
+    * per-path robots gate applies. When nothing is declared, falls back
+    * to the well-known `/sitemap.xml` probe (`wellKnownOk` = the robots
+    * gate on that path; `fetchWellKnown` is only invoked when it holds).
+    */
+  def discover(host: String, declared: Seq[String], wellKnownOk: Boolean,
+               fetchWellKnown: () => Option[String],
+               fetchAt: String => Option[String]): IndexedSeq[String] = {
+    if (declared.nonEmpty) {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      declared.iterator.filter(seen.add).flatMap { u =>
+        fetchAt(u) match {
+          case Some(b) => expandAt(host, u, b, fetchAt)
+          case None    => Vector.empty[String]
+        }
+      }.toIndexedSeq
+    } else if (!wellKnownOk) Vector.empty[String]
+    else fetchWellKnown() match {
+      case Some(b) => expand(host, b, fetchAt)
+      case None    => Vector.empty[String]
+    }
   }
 }
