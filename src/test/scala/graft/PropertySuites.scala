@@ -182,3 +182,65 @@ object ContentHashProps extends Properties("ContentHash") {
       (a == b) == (ContentHash.ofSpans(a) == ContentHash.ofSpans(b))
     }
 }
+
+/** Sitemap parsing / expansion properties (round 5 s13): generated loc
+  * lists round-trip through the XML writer's entity escaping, index
+  * expansion is the in-order concatenation of distinct same-host
+  * children's entries with each child fetched exactly once, and robots
+  * `Sitemap:` extraction keeps same-host declarations in order deduped —
+  * each checked against an independently-written reference model.
+  */
+object SitemapProps extends Properties("Sitemap") {
+  import graft.functions.{RobotsTxt, Sitemap}
+
+  private val host = "a.test"
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private val genLoc: Gen[String] = for {
+    h <- Gen.oneOf("a.test", "A.TEST", "b.test")
+    port <- Gen.oneOf("", ":80")
+    seg <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(6).mkString)
+    q <- Gen.oneOf("", "?x=1&y=2")
+  } yield s"http://$h$port/$seg$q"
+
+  private def sameHostCanonical(locs: List[String]): List[String] =
+    locs.map(CanonicalUrl.canonicalize)
+      .filter(c => CanonicalUrl.host(c) == host)
+
+  property("urlset round-trip: entries == same-host canonicalized locs in order") =
+    forAll(Gen.listOf(genLoc).map(_.take(12))) { locs =>
+      val xml = "<urlset>" +
+        locs.map(l => s"<url><loc>${esc(l)}</loc></url>").mkString + "</urlset>"
+      Sitemap.entries(host, xml) == sameHostCanonical(locs)
+    }
+
+  property("index expand: in-order concat of distinct same-host children, " +
+    "each fetched once") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 4)).map(_.take(8)),
+        Gen.listOfN(5, Gen.listOf(genLoc).map(_.take(6)))) { (refs, bodies) =>
+      val idx = "<sitemapindex>" + refs.map(k =>
+        s"<sitemap><loc>http://a.test/s$k.xml</loc></sitemap>").mkString +
+        "</sitemapindex>"
+      val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+      val ChildRe = "http://a\\.test/s([0-9])\\.xml".r
+      val fetchAt: String => Option[String] = { u =>
+        calls += u
+        ChildRe.findFirstMatchIn(u).map { m =>
+          "<urlset>" + bodies(m.group(1).toInt)
+            .map(l => s"<url><loc>${esc(l)}</loc></url>").mkString + "</urlset>"
+        }
+      }
+      val out = Sitemap.expand(host, idx, fetchAt)
+      val expected = refs.distinct.flatMap(k => sameHostCanonical(bodies(k)))
+      out == expected && calls.size == refs.distinct.size
+    }
+
+  property("robots sitemapUrls: same-host declarations in order, deduped; " +
+    "rule lines ignored") =
+    forAll(Gen.listOf(genLoc).map(_.take(10))) { locs =>
+      val body = "User-agent: *\nDisallow: /x\n" +
+        locs.map(l => s"Sitemap: $l").mkString("\n") + "\n"
+      RobotsTxt.sitemapUrls(host, body) == sameHostCanonical(locs).distinct
+    }
+}
