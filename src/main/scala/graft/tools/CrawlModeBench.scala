@@ -35,7 +35,13 @@ import org.apache.spark.sql.SparkSession
   * WORST-case robots churn: every host's resolution expires every wave,
   * so the stale-pending query + distributed re-fetch + broadcast swap
   * run at full host width each wave — ttl-vs-fetch bounds the refetch
-  * machinery's cost from above; a real ttl amortizes it 1/ttl.)
+  * machinery's cost from above; a real ttl amortizes it 1/ttl.
+  * sitemap-serve = fetch + fetchSitemaps on a web where HALF the hosts
+  * serve sitemaps (40% of those as INDEX files, 40% declaring via
+  * robots `Sitemap:` directives): full discovery active — probe
+  * anti-join, directive body reads, child fetches, entry admission.
+  * NOT a pure A/B vs fetch (the discovered entries change the
+  * workload); it measures throughput with the machinery fully hot.)
   */
 object CrawlModeBench {
   def main(args: Array[String]): Unit = {
@@ -66,8 +72,9 @@ object CrawlModeBench {
       case "revisit"     => (CrawlDriver.EngineConfig(), false)
       case "adaptive"    => (CrawlDriver.EngineConfig(), false)
       case "cdup-store"  => (CrawlDriver.EngineConfig(contentStorage = "store"), false)
-      case "fetch"       => (CrawlDriver.EngineConfig(), true)
-      case "ttl"         => (CrawlDriver.EngineConfig(), true)
+      case "fetch"         => (CrawlDriver.EngineConfig(), true)
+      case "ttl"           => (CrawlDriver.EngineConfig(), true)
+      case "sitemap-serve" => (CrawlDriver.EngineConfig(), true)
       case "table"       => (CrawlDriver.EngineConfig(robotsStorage = "table"), true)
       case "scale"       => (CrawlDriver.EngineConfig(filterDistribution = "lazy",
         pendingStorage = "mor", seenStorage = "store"), false)
@@ -89,6 +96,9 @@ object CrawlModeBench {
           revisitAdaptive = Some(graft.crawl.AdaptiveRevisit(
             minWaves = 1, maxWaves = 2048)))
         else if (m == "ttl") c.copy(robotsTtlWaves = 1)
+        else if (m == "sitemap-serve") c.copy(fetchSitemaps = true,
+          web = c.web.copy(sitemapHostPct = 50, sitemapIndexPct = 40,
+            sitemapDirectivePct = 40))
         else c
       // warm (small), then timed (the Bench wide-wave regime)
       CrawlDriver.run(spark, withCap(cfgOf(101, 2000, 5000, fetch)),
