@@ -161,6 +161,30 @@ class SitemapDirectiveSpec extends AnyFunSuite {
     assertEqualResults(oV, CrawlDriver.result(spark, rootV))
   }
 
+  test("distributed seed ingest (runWithSeedTable) honors directives for " +
+    "wave-0 seed-host probes — == the sequential oracle, broadcast and " +
+    "table robots modes") {
+    import spark.implicits._
+    val web = hashWeb.copy(hosts = 6, redirectPct = 0, transientFailPct = 0)
+    val w = web
+    val cfg = CrawlConfig(SyntheticWeb.seedUrls(30, web), budgetPerHost = 2,
+      maxWaves = 1000, web = web, robots = SyntheticWeb.robotsFixture(web),
+      fetchRobotsTxt = true, fetchSitemaps = true)
+    val (o, _) = new RefCrawler(cfg).run()
+    val (oOff, _) = new RefCrawler(cfg.copy(fetchSitemaps = false)).run()
+    assert(o.seen.size > oOff.seen.size,
+      "wave-0 probes admitted nothing — fixture weak")
+    val seedsDf = spark.range(0, 30, 1, 4)
+      .map(i => (SyntheticWeb.seedUrl(i, w), i)).toDF("url", "seed_seq")
+    for (eng <- Seq(CrawlDriver.EngineConfig(),
+        CrawlDriver.EngineConfig(robotsStorage = "table"))) {
+      val root = tmp()
+      CrawlDriver.runWithSeedTable(spark, cfg.copy(seeds = Nil), root,
+        seedsDf, eng)
+      assertEqualResults(o, CrawlDriver.result(spark, root))
+    }
+  }
+
   test("fetchRobotsTxt=false never consults directives: a " +
     "directive-serving web crawls identically to the directive-free web " +
     "under fixture robots — engine == oracle == directive-free run") {
