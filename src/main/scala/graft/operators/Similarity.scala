@@ -77,18 +77,100 @@ object Similarity {
     }
   }
 
+  /** Vector norm precomputed ONCE PER ROW for the pairwise paths: the
+    * per-pair cosine then folds only the dot product, cutting the flops
+    * per candidate pair ~3x (r6 optimization; guide §1.2 "per-task work").
+    * BIT-IDENTICAL to [[cosineUdf]]: the square-sum accumulates in the
+    * same ascending-index order in its own accumulator (independent of the
+    * interleaved dot in the one-pass form — IEEE addition per accumulator
+    * sees the identical operand sequence), and the final expression
+    * d / (nrm_a * nrm_b) is exactly d / (sqrt(na) * sqrt(nb)). The oracle
+    * (DuckDB) computes norms per row in its `n` CTE the same way, so the
+    * hash gate re-proves the parity. Null semantics preserved: null array
+    * or null element -> null norm -> null cosine; ragged lengths -> null.
+    */
+  private val normUdf = udf { (a: Seq[java.lang.Float]) =>
+    if (a == null) None
+    else {
+      var i = 0
+      var na = 0.0
+      var nullElem = false
+      while (i < a.length && !nullElem) {
+        val bx = a(i)
+        if (bx eq null) nullElem = true
+        else { val x = bx.toDouble; na += x * x }
+        i += 1
+      }
+      if (nullElem) None else Some(math.sqrt(na))
+    }
+  }
+
+  private[graft] def norm1(a: Column): Column = normUdf(a)
+
+  /** PRIMITIVE-ARRAY pair kernel: `Array[Float]` deserializes as one
+    * unboxed copy per call where `Seq[java.lang.Float]` boxes all 64
+    * elements (measured 5x on the 200k-pair bench stage — the boxing, not
+    * the flops, dominated the fused form). A primitive signature cannot
+    * observe null ELEMENTS (the converter would NPE before the body runs),
+    * so [[withNrm]] nulls out the whole array whenever its norm is null
+    * (null array OR null element) — the kernel then sees a null array and
+    * returns None, preserving the null-in -> null-out contract end to end.
+    */
+  private val cosinePreUdf = udf {
+    (a: Array[Float], b: Array[Float],
+     na: java.lang.Double, nb: java.lang.Double) =>
+      if (a == null || b == null || na == null || nb == null ||
+          a.length != b.length) None
+      else {
+        var i = 0
+        var d = 0.0
+        while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+        Some(d / (na * nb))
+      }
+  }
+
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    cosinePreUdf(a, b, na, nb)
+
+  /** Adds the once-per-row `nrm` column and replaces `embedding` with NULL
+    * when the norm is null, so every downstream pair kernel can take
+    * primitive arrays (see [[cosinePreUdf]]). Valid rows are untouched.
+    */
+  private def withNrm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", normUdf(col("embedding")))
+      .withColumn("embedding", when(col("nrm").isNotNull, col("embedding")))
+
+  /** Fail-fast cardinality guard for the broadcast-query ANN paths (the
+    * [[nearDupPairs]] `maxBlock` / [[semanticDedup]] `maxCluster` mirror):
+    * an over-broad `isQuery` would silently build a corpus-sized broadcast
+    * (cosineTopK) or a corpus x corpus candidate join (lshTopK/ivfTopK).
+    */
+  private def requireQueryBound(op: String, emb: DataFrame, isQuery: Column,
+                                maxQueries: Option[Long]): Unit =
+    maxQueries.foreach { cap =>
+      val nq = emb.filter(isQuery).count()
+      require(nq <= cap,
+        s"$op: isQuery selects $nq rows > cap $cap — the query side is " +
+          "broadcast/fanned out per probe; narrow the predicate or raise the cap")
+    }
+
   /** Exact cosine top-k: for each query vector (filtered by `isQuery`),
     * the k nearest other vectors. One broadcast of the (small) query side;
     * the big side streams — no shuffle of the full embedding table.
     * Output: (query_id, neighbor_id, cos, rank).
     */
-  def cosineTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val queries = emb.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+  def cosineTopK(emb: DataFrame, isQuery: Column, k: Int,
+                 maxQueries: Option[Long] = None): DataFrame = {
+    requireQueryBound("cosineTopK", emb, isQuery, maxQueries)
+    val embN = withNrm(emb.select(col("vec_id"), col("embedding")))
+    val queries = embN.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val pairs = embN.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
       .crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", cosinePre(col("q_emb"), col("embedding"),
+        col("q_nrm"), col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs
@@ -156,20 +238,32 @@ object Similarity {
     * Output shape matches cosineTopK.
     */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int,
-              nTables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+              nTables: Int = 4, bitsPerTable: Int = 8,
+              maxQueries: Option[Long] = None): DataFrame = {
+    requireQueryBound("lshTopK", emb, isQuery, maxQueries)
+    // r6 shape (guide §8): the bucket self-join carries IDS ONLY — the
+    // 64-float embeddings never ride the collision shuffle — and the
+    // distinct collapses multi-table collisions BEFORE the cosine, so each
+    // candidate pair pays exactly one dot product (was: one per colliding
+    // table, then max() over identical values).
     val exploded = lshExplode(emb, nTables, bitsPerTable, dim = 64)
-    val queries = exploded.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val candPairs = exploded
-      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
-      .join(queries, "bucket")
+    val qb = exploded.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val cand = exploded.select(col("vec_id").as("neighbor_id"), col("bucket"))
+      .join(qb, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-      // a pair colliding in several tables appears several times: collapse
-      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val embN = withNrm(emb.select(col("vec_id"), col("embedding")))
+    val scored = cand
+      .join(embN.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), "query_id")
+      .join(embN.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "neighbor_id")
+      .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    candPairs
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -225,7 +319,9 @@ object Similarity {
     * Output shape matches cosineTopK.
     */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
-              centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+              centroids: Array[Array[Double]], nprobe: Int = 4,
+              maxQueries: Option[Long] = None): DataFrame = {
+    requireQueryBound("ivfTopK", emb, isQuery, maxQueries)
     val spark = emb.sparkSession
     import spark.implicits._
     val cb = spark.sparkContext.broadcast(centroids)
@@ -236,15 +332,15 @@ object Similarity {
         .map(c => (c, sqDist(v, cb.value(c))))
         .sortBy(_._2).take(nprobe).map(_._1) // stable sort: ties keep low cid
     })
-    val lists = emb.select($"vec_id".as("neighbor_id"), $"embedding")
-      .withColumn("cid", assignU($"embedding"))
-    val queries = emb.filter(isQuery)
+    val lists = withNrm(emb.select($"vec_id".as("neighbor_id"), $"embedding")
+      .withColumn("cid", assignU($"embedding")))
+    val queries = withNrm(emb.filter(isQuery).select($"vec_id", $"embedding"))
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        explode(probeU($"embedding")).as("cid"))
+        $"nrm".as("q_nrm"), explode(probeU($"embedding")).as("cid"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     lists.join(queries, "cid")
       .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("cos", cosine($"q_emb", $"embedding"))
+      .withColumn("cos", cosinePre($"q_emb", $"embedding", $"q_nrm", $"nrm"))
       .groupBy($"query_id", $"neighbor_id").agg(max($"cos").as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
@@ -266,11 +362,15 @@ object Similarity {
         s"nearDupPairs: largest block has $biggest rows > cap $cap — " +
           "O(block²) unsafe; use nearDupPairsLsh or a finer blocking key")
     }
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("label"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("label"))
+    val embN = withNrm(emb.select(col("vec_id"), col("embedding"), col("label")))
+    val a = embN.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("label"))
+    val b = embN.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("label"))
     a.join(b, "label")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos", cosinePre(col("emb_a"), col("emb_b"),
+        col("nrm_a"), col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
@@ -306,11 +406,15 @@ object Similarity {
         s"semanticDedup: largest cluster has $biggest rows > cap $cap — " +
           "O(cluster²) unsafe; raise nlist on the quantizer")
     }
-    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val assignedN = withNrm(assigned)
+    val a = assignedN.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assignedN.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, "cid")
       .filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .filter(cosinePre(col("emb_a"), col("emb_b"),
+        col("nrm_a"), col("nrm_b")) >= threshold)
       .groupBy(col("cid"), col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dup_of"))
       .select(col("cid"), col("vec_id"), col("dup_of"))
@@ -324,14 +428,25 @@ object Similarity {
     */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
                       nTables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    // r6 shape (guide §8): ids only through the bucket self-join, distinct
+    // pairs BEFORE the cosine — multi-table collisions used to pay one
+    // cosine per table and collapse via max() over identical values; now
+    // each candidate pair pays exactly one dot product and the heavy
+    // embedding arrays move once, keyed by id, not per collision.
     val exploded = lshExplode(emb, nTables, bitsPerTable, dim = 64)
-    val a = exploded.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
-    val b = exploded.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
-    a.join(b, "bucket")
+      .select(col("vec_id"), col("bucket"))
+    val cand = exploded.select(col("vec_id").as("id_a"), col("bucket"))
+      .join(exploded.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
-      // a pair colliding in several tables appears several times: collapse
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("cos")).as("cos"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val embN = withNrm(emb.select(col("vec_id"), col("embedding")))
+    cand
+      .join(embN.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(embN.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", cosinePre(col("emb_a"), col("emb_b"),
+        col("nrm_a"), col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
