@@ -127,14 +127,18 @@ object SparkEntry {
         .join(bld, col("o_custkey") === col("c_custkey"), "left_semi")
         .select(col("o_orderkey"), col("o_custkey"))
     }),
-    // ---- first-occurrence dedup (D2)
+    // ---- first-occurrence dedup (D2). r6 shape: min(struct(ts, event_id,
+    // value)) replaces the sort window — a partial-aggregatable hash agg
+    // (map-side reduction, no per-group sort, hot groups stream in O(1)
+    // memory). struct ordering is lexicographic on (ts, event_id), the
+    // window's exact sort key; (ts, event_id) is unique within a group
+    // (checked across all SFs), so the selected row is identical.
     "q_first_dedup" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
       T(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("event_type"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
     }),
     // ---- sort / limit (O1/O2)
     "q_sort_limit" -> ((s, dir) => {
@@ -287,12 +291,23 @@ object SparkEntry {
           round(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 6)
             .as("jaccard"))
     }),
-    // ---- SimHash signatures
+    // ---- SimHash signatures. r6 shape: PER-ROW — md5 once per token into
+    // an array, then 16 integer folds over it. The old explode +
+    // groupBy(doc_id) shuffled every token and hashed each one 16x (one
+    // md5 per bit-sum aggregate); integer +/-1 sums are order-independent,
+    // so the per-row fold is value-identical, and a doc with zero tokens
+    // is filtered out exactly as explode dropped it.
     "q_simhash" -> ((s, dir) => {
-      val toksDf = T(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      val sums = TextOps.simhashBitSums(col("t"))
-      toksDf.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ts"))
+        .filter(size(col("ts")) > 0)
+        .select(col("doc_id"), transform(col("ts"), t => md5(t)).as("mds"))
+      val sums = (0 until 16).map { j =>
+        aggregate(col("mds"), lit(0),
+          (acc, m) => acc + when(substring(m, j + 1, 1) >= "8", 1).otherwise(-1))
+          .as(s"s$j")
+      }
+      d.select((col("doc_id") +: sums): _*)
         .select(col("doc_id"),
           TextOps.simhashFromSums((0 until 16).map(j => col(s"s$j"))).as("simhash"))
     }),
@@ -432,15 +447,41 @@ object SparkEntry {
     }),
     // Token-budget packing (sequence-packing shard assignment): docs in
     // stable (source, doc_id) order are chunked by cumulative token count
-    // at a 256-token budget — one running-sum window per source.
+    // at a 256-token budget. r6 two-phase running sum (VERDICT item 8,
+    // guide §8 step 3): a single per-source window serializes a
+    // mega-source into one sorted task; instead the doc_id space is cut
+    // into ORDER-PRESERVING ranges (bucket = doc_id >> 20, so a window
+    // task never sorts more than 2^20 rows), local running sums run per
+    // (source, bucket), and each bucket's offset = sum of all earlier
+    // buckets' totals per source (a window over per-bucket TOTALS — one
+    // row per non-empty bucket, ~2^20x smaller than the data). Long sums
+    // are exact and associative, so cum = offset + local cum is
+    // bit-identical to the single window; at sf0.1 every doc falls in
+    // bucket 0 and the plan degenerates to the original shape plus one
+    // tiny agg+join.
     "q_pack_chunks" -> ((s, dir) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val bkt = shiftright(col("doc_id").cast("long"), 20)
+      val wLocal = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      T(s, dir, "documents")
+      // consumed by the totals agg AND the final join; both sides hang off
+      // the same (source, bkt) exchange, which Spark reuses — no
+      // materialization needed
+      val local = T(s, dir, "documents")
         .withColumn("tok", size(toks(col("text"))).cast("long"))
-        .withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("bkt", bkt)
+        .withColumn("cum_local", sum(col("tok")).over(wLocal))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // tok >= 0 makes cum_local monotone within the bucket: max = total
+      val offsets = local.groupBy(col("source"), col("bkt"))
+        .agg(max(col("cum_local")).as("btot"))
+        .withColumn("offset", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("source"), col("bkt"), col("offset"))
+      local.join(offsets, Seq("source", "bkt"))
         .select(col("doc_id"), col("source"), col("tok"),
-          floor((col("cum") - col("tok")) / lit(256)).cast("long").as("chunk"))
+          floor((col("offset") + col("cum_local") - col("tok")) / lit(256))
+            .cast("long").as("chunk"))
     }),
     // Benchmark decontamination: a train doc sharing ANY word-3-gram with
     // any test-split doc is contaminated. Distinct shingles per side, one
@@ -495,8 +536,13 @@ object SparkEntry {
     "q_tfidf_top" -> ((s, dir) => {
       val tk = T(s, dir, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+      // tf rows are already distinct on (doc_id, tk), so df = tf's row
+      // count per token — the old tk.distinct() re-exploded every token
+      // and paid a second full shuffle of the raw token stream (r6:
+      // one explode pass, tf materialized once for both consumers)
       val tf = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
-      val dfreq = tk.distinct().groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        .localCheckpoint(false)
+      val dfreq = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
       val n = T(s, dir, "documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tk"))
       tf.join(dfreq, "tk").crossJoin(broadcast(n))
@@ -532,17 +578,33 @@ object SparkEntry {
     // newline-free corpus): non-overlapping 5-token windows; first occurrence
     // corpus-wide (by doc_id, then position) owns the passage, later ones
     // are duplicates. One shuffle on the passage key — scale-safe.
+    // r6 de-skew (VERDICT item 3): the old passage-key WINDOW sorted every
+    // occurrence of a passage in ONE partition — a boilerplate passage at
+    // 10^8 copies lands on one task. Now: rk>1 occurrences per doc =
+    // (rows of the doc) − (passages whose corpus-wide FIRST occurrence,
+    // i.e. min (doc_id, pos), lies in the doc). Both sides are
+    // partial-aggregatable hash aggs; no window, no sort, no join on the
+    // passage key. min(struct) is the same total order the window used.
     "q_passage_dedup" -> ((s, dir) => {
-      val p = T(s, dir, "documents")
+      val docs = T(s, dir, "documents")
         .withColumn("ts", toks(col("text")))
-        .select(col("doc_id"), posexplode(
+        .withColumn("parr",
           expr("transform(sequence(0, cast(ceil(size(ts) / 5.0) AS INT) - 1), " +
-            "i -> concat_ws(' ', slice(ts, i*5+1, 5)))")).as(Seq("pos", "passage")))
-      val w = Window.partitionBy(col("passage")).orderBy(col("doc_id"), col("pos"))
-      p.withColumn("rk", row_number().over(w))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_passages"),
-          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dupes"))
+            "i -> concat_ws(' ', slice(ts, i*5+1, 5)))"))
+      val p = docs.select(col("doc_id"),
+        posexplode(col("parr")).as(Seq("pos", "passage")))
+      val owned = p.groupBy(col("passage"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+        .groupBy(col("first.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_owned"))
+      // per-doc passage count straight off the same array — no second
+      // explode pass and no materialization (size(parr) == rows explode
+      // emits; a null text yields a null array on both branches)
+      docs.select(col("doc_id"), size(col("parr")).cast("long").as("n_passages"))
+        .where(col("n_passages").isNotNull)
+        .join(owned, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_passages"),
+          (col("n_passages") - coalesce(col("n_owned"), lit(0L))).as("n_dupes"))
     })
   )
 

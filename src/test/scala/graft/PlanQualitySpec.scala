@@ -77,6 +77,29 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("passage dedup carries no window on the passage key (hot-passage de-skew, r6)") {
+    val plan = planOf("q_passage_dedup")
+    assert(!plan.contains("Window"),
+      s"q_passage_dedup regained a window (hot-key skew risk):\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count") ||
+      plan.contains("HashAggregate"),
+      s"q_passage_dedup lost its partial-aggregatable shape:\n$plan")
+  }
+
+  test("first-occurrence dedup is a hash agg, not a sorted window (r6)") {
+    val plan = planOf("q_first_dedup")
+    assert(!plan.contains("Window"),
+      s"q_first_dedup regained a sort window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"q_first_dedup is not an aggregate:\n$plan")
+  }
+
+  test("simhash is per-row: no exchange in the plan (r6)") {
+    val plan = planOf("q_simhash")
+    assert(!plan.contains("Exchange"),
+      s"q_simhash shuffles again (explode+groupBy shape came back):\n$plan")
+  }
+
   test("jaccard joins candidate pairs to shingle SETS (no exploded-shingle blowup)") {
     val plan = planOf("q_jaccard")
     assert(plan.contains("array_intersect"),

@@ -182,6 +182,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("block"))
   }
 
+  test("ANN maxQueries guards fail fast on an over-broad isQuery (r6)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val broad = lit(true) // every row a query = corpus-sized broadcast/fan-out
+    for (run <- Seq(
+      () => graft.operators.Similarity
+        .cosineTopK(emb, broad, k = 2, maxQueries = Some(4L)).count(),
+      () => graft.operators.Similarity
+        .lshTopK(emb, broad, k = 2, maxQueries = Some(4L)).count(),
+      () => graft.operators.Similarity.ivfTopK(emb, broad, k = 2,
+        centroids = graft.operators.Similarity.seedCentroids(emb, nlist = 4),
+        maxQueries = Some(4L)).count())) {
+      val err = intercept[IllegalArgumentException](run())
+      assert(err.getMessage.contains("isQuery"))
+    }
+    // bounded predicate passes under the same cap
+    assert(graft.operators.Similarity
+      .cosineTopK(emb, col("vec_id") < 3, k = 2, maxQueries = Some(4L))
+      .count() > 0)
+  }
+
   test("simhash: near-identical token multisets collide, disjoint ones differ") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
