@@ -1643,6 +1643,12 @@ object CrawlDriver {
     // zero revisit jobs, and a wave with nothing pending and nothing due
     // is SILENT — skipped entirely, no commit, the crawl sleeps to the
     // next due wave.
+    // DOCUMENTED SEMANTICS (r5 ADVICE): a resume with revisit DISABLED
+    // ignores but does not delete an existing revisit_due table; a later
+    // resume that re-enables revisits therefore RESURRECTS the pre-disable
+    // schedule (rows with due_wave >= that resume's wave). Disable is
+    // "pause", not "cancel" — a cancel would require a table-replacing
+    // commit at resume init, off the oracle's two-phase model.
     val revisitActive = cfg.revisitEveryWaves > 0
     // oracle model point 15: per-URL interval adaptation — the state rides
     // the frontier/schedule rows, so the only engine-side deltas are the

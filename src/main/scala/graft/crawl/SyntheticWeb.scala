@@ -470,6 +470,14 @@ object SyntheticWeb {
     sb.toString
   }
 
+  // sitemapAt URL shapes, compiled once per JVM — this runs per
+  // child-sitemap fetch inside executor tasks during sitemap probes
+  // (per-invocation compilation measured as the r5 ADVICE item)
+  private val SitemapChildRe = "http://(host[0-9]+\\.test)/sitemap-([0-9]+)\\.xml".r
+  private val SitemapProbeRe = "http://(host[0-9]+\\.test)/sitemap\\.xml".r
+  private val SitemapDirRe = "http://(host[0-9]+\\.test)/smd-([0-9]+)\\.xml".r
+  private val SitemapDirChildRe = "http://(host[0-9]+\\.test)/smd-c([0-9]+)\\.xml".r
+
   /** The body served at an individual sitemap URL (an index file's
     * child): `/sitemap-<j>.xml` for j below the host's child count when
     * the host serves an index; `/sitemap.xml` serves whatever the probe
@@ -478,10 +486,6 @@ object SyntheticWeb {
     * Pure function of (url, cfg).
     */
   def sitemapAt(url: String, cfg: WebConfig): Option[String] = {
-    val ChildRe = "http://(host[0-9]+\\.test)/sitemap-([0-9]+)\\.xml".r
-    val ProbeRe = "http://(host[0-9]+\\.test)/sitemap\\.xml".r
-    val DirRe = "http://(host[0-9]+\\.test)/smd-([0-9]+)\\.xml".r
-    val DirChildRe = "http://(host[0-9]+\\.test)/smd-c([0-9]+)\\.xml".r
     def dirHostId(host: String): Option[Int] = {
       if (cfg.sitemapDirectivePct <= 0) return None
       val mid = host.substring(4, host.length - 5)
@@ -492,7 +496,7 @@ object SyntheticWeb {
       Some(i)
     }
     url match {
-      case ChildRe(host, js) =>
+      case SitemapChildRe(host, js) =>
         sitemapHostId(host, cfg).flatMap { i =>
           val j = js.toInt
           val isIdx = cfg.sitemapIndexPct > 0 &&
@@ -501,7 +505,7 @@ object SyntheticWeb {
             Some(sitemapUrlsetBody(host, i, "|c" + j, cfg))
           else None
         }
-      case DirRe(host, ks) =>
+      case SitemapDirRe(host, ks) =>
         dirHostId(host).flatMap { i =>
           val hd = h(host + "|smdirx")
           ks.toInt match {
@@ -519,12 +523,12 @@ object SyntheticWeb {
             case _ => None
           }
         }
-      case DirChildRe(host, js) =>
+      case SitemapDirChildRe(host, js) =>
         dirHostId(host).flatMap { i =>
           val j = js.toInt
           if (j < 2) Some(sitemapUrlsetBody(host, i, "|dc" + j, cfg)) else None
         }
-      case ProbeRe(host) => sitemapTxt(host, cfg)
+      case SitemapProbeRe(host) => sitemapTxt(host, cfg)
       case _             => None
     }
   }

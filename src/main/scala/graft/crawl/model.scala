@@ -386,6 +386,12 @@ case class HostBackoff(failureThreshold: Int, backoffWaves: Int) {
 case class AdaptiveRevisit(minWaves: Int = 1, maxWaves: Int = 64) {
   require(minWaves >= 1, "minWaves must be >= 1")
   require(maxWaves >= minWaves, "maxWaves must be >= minWaves")
+  // the engine doubles an interval (interval * 2) BEFORE the least() clamp;
+  // with Spark 4 ANSI mode an interval past 2^30 would throw
+  // ARITHMETIC_OVERFLOW where the oracle's Int math wraps silently — bound
+  // maxWaves so the doubled value always fits (r5 ADVICE item)
+  require(maxWaves <= Int.MaxValue / 2,
+    s"maxWaves must be <= ${Int.MaxValue / 2} (doubled intervals must not overflow Int)")
 }
 
 /** Crawl configuration shared by the oracle and the Spark engine.
