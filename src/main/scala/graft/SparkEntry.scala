@@ -368,7 +368,11 @@ object SparkEntry {
     // CTE — both deterministic, so the component labeling hash-checks.
     "q_dup_components" -> ((s, dir) => {
       val pairs = Similarity.nearDupPairsLsh(T(s, dir, "embeddings"), threshold = 0.30)
-      Components.connectedComponents(pairs)
+      // edgesDistinct: nearDupPairsLsh emits distinct (id_a < id_b) pairs
+      // by construction (distinct candidate pairs equijoined to unique-id
+      // embeddings, then filtered), so the operator's setup dedup — a full
+      // edge-list shuffle — is provably wasted here and skipped (r6)
+      Components.connectedComponents(pairs, edgesDistinct = true)
         .select(col("id").as("vec_id"), col("comp"))
     }),
     // ---- multimodal metadata over binary payloads

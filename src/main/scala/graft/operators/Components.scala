@@ -66,17 +66,31 @@ object Components {
     *
     * `maxIters` bounds the propagation; a graph whose diameter exceeds it
     * fails loudly rather than returning a half-converged labeling.
+    *
+    * `edgesDistinct = true` asserts the caller's edge list is already
+    * duplicate-free, loop-free, and single-orientation (each undirected
+    * pair appears exactly once, as (a,b) OR (b,a), never both, with
+    * a != b) — then the symmetrized union cannot contain duplicates
+    * either, and the setup `distinct()` (a full 2|E| shuffle + aggregate,
+    * the only edge-list-wide shuffle besides the partitioning one) is
+    * skipped outright (guide §2: remove shuffles the data's invariant
+    * already guarantees). LSH candidate-pair outputs satisfy this by
+    * construction (distinct pairs with id_a < id_b). Results are identical
+    * either way (min-propagation is idempotent under duplicate edges); the
+    * flag only removes wasted work. Leave it false when unsure — duplicate
+    * edges then cost every ROUND their dup factor instead of one dedup.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
-                          dstCol: String = "id_b", maxIters: Int = 64): DataFrame = {
+                          dstCol: String = "id_b", maxIters: Int = 64,
+                          edgesDistinct: Boolean = false): DataFrame = {
     // hash-partitioned on the per-round join key BEFORE caching: the
     // cached relation advertises that partitioning, so every propagation
     // round joins against it without re-shuffling the edge list (labels
     // arrive already hash-partitioned on the same key from the groupBy)
-    val sym = edges
+    val symRaw = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
-      .distinct()
+    val sym = (if (edgesDistinct) symRaw else symRaw.distinct())
       .repartition(col("a"))
       .persist()
     // symmetrization puts every endpoint in column a, so nodes = distinct a

@@ -28,6 +28,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("connectedComponents: edgesDistinct=true (dedup shuffle skipped) is " +
+    "value-identical to the default path on a single-orientation " +
+    "duplicate-free edge list — the LSH candidate-pair invariant") {
+    import spark.implicits._
+    // distinct pairs, a < b, one orientation each (nearDupPairsLsh shape):
+    // chain {1,2,3}, pair {10,11}, triangle {20,21,22}
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val dflt = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val fast = Components.connectedComponents(edges, edgesDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dflt)
+    assert(fast === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 11L -> 10L))
+  }
+
   test("connectedComponents: EMPTY edge list converges immediately to an " +
     "empty labeling (the null label-sum edge of the monotone convergence " +
     "test)") {
